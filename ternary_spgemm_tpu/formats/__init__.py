@@ -1,0 +1,29 @@
+"""Ternary sparse container formats (logical + TPU-physical layouts)."""
+
+from ternary_spgemm_tpu.formats.base import TernaryFormat, all_formats, register_format
+from ternary_spgemm_tpu.formats.blocked import BlockedTCSC, InterleavedBlockedTCSC
+from ternary_spgemm_tpu.formats.ell import EllTCSC
+from ternary_spgemm_tpu.formats.generate import (
+    generate_alpha,
+    generate_bias,
+    generate_ternary,
+    generate_x,
+)
+from ternary_spgemm_tpu.formats.interleaved import InterleavedTCSC
+from ternary_spgemm_tpu.formats.packed import (
+    DenseTernary,
+    PackedCSC,
+    PackedTernary2Bit,
+    PackedTernary53,
+    pack_signs_base3,
+    unpack_signs_base3,
+)
+from ternary_spgemm_tpu.formats.tcsc import TCSC, TCSR
+
+__all__ = [
+    "TernaryFormat", "all_formats", "register_format",
+    "TCSC", "TCSR", "BlockedTCSC", "InterleavedBlockedTCSC", "InterleavedTCSC",
+    "EllTCSC", "PackedCSC", "PackedTernary2Bit", "PackedTernary53", "DenseTernary",
+    "pack_signs_base3", "unpack_signs_base3",
+    "generate_ternary", "generate_x", "generate_bias", "generate_alpha",
+]
