@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Headline benchmark: flagship kernels at the reference's north-star config.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Config: M=32, K=1024, N=4096, s=4 — the reference's canonical shape
+(``compiler_testing/test.sh:8``, BASELINE.md). Metric: useful-adds GFLOP/s of
+the best kernel (the reference's flops/cycle convention, ``readme.md:84-85``,
+re-based to wall time). vs_baseline: the reference's best published number at
+this config — 2.31712e7 cycles for 33,685,504 useful adds
+(``compiler_testing/compiler_results_cold_cache.txt:1-2``) at the repo's own
+FREQUENCY=3.2 GHz constant (``cpp_impl/perf.cpp:30``) = 4.652 GFLOP/s.
+
+Usage: python bench.py [--all] [--correctness] [--json-out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+#: Reference best at the north-star config (see module docstring).
+REFERENCE_GFLOPS = 33_685_504 / (2.31712e7 / 3.2e9) / 1e9
+
+#: The TPU-native kernel set benchmarked by default (XLA segment-sum
+#: formulations exist for capability parity but are not competitive on TPU;
+#: include them with --all).
+DEFAULT_KERNELS = [
+    "PallasDense", "PallasDense_bf16", "PallasPacked2Bit", "PallasPacked53",
+    "PallasEllGather", "DenseMXU", "DenseMXU_bf16",
+]
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--M", type=int, default=32)
+    p.add_argument("--K", type=int, default=1024)
+    p.add_argument("--N", type=int, default=4096)
+    p.add_argument("--s", type=int, default=4)
+    p.add_argument("--all", action="store_true",
+                   help="benchmark the full kernel registry")
+    p.add_argument("--kernels", default=None,
+                   help="comma-separated kernel names (overrides --all)")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu); overrides plugin "
+                        "site hooks that pin the platform at startup")
+    p.add_argument("--correctness", action="store_true",
+                   help="gate every kernel vs the dense reference first "
+                        "(device->host readback; slow on tunneled devices)")
+    p.add_argument("--prelu", action="store_true")
+    p.add_argument("--json-out", default=None,
+                   help="also write the full per-kernel records (reference "
+                        "sweep schema) to this path")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from ternary_spgemm_tpu.bench import BenchConfig, run_config, to_reference_json
+
+    if args.kernels:
+        kernels = args.kernels.split(",")
+    else:
+        kernels = None if args.all else DEFAULT_KERNELS
+    cfg = BenchConfig(
+        M=args.M, K=args.K, N=args.N, s=args.s, prelu=args.prelu,
+        correctness=args.correctness, kernels=kernels)
+    results = run_config(cfg, verbose=args.verbose)
+    ok = [r for r in results if not r.error]
+    if args.json_out:
+        from ternary_spgemm_tpu.bench import dump_json
+        dump_json([to_reference_json(cfg, results)], args.json_out)
+    if not ok:
+        print(json.dumps({"metric": "ternary_spgemm_useful_gflops",
+                          "value": 0.0, "unit": "GFLOP/s", "vs_baseline": 0.0,
+                          "error": "; ".join(f"{r.name}: {r.error}" for r in results)}))
+        return 1
+    best = max(ok, key=lambda r: r.gflops)
+    print(json.dumps({
+        "metric": "ternary_spgemm_useful_gflops",
+        "value": round(best.gflops, 3),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(best.gflops / REFERENCE_GFLOPS, 3),
+        "best_kernel": best.name,
+        "seconds": best.seconds,
+        "effective_gflops": round(best.effective_gflops, 3),
+        "nnz_per_s": best.nnz_per_s,
+        "roofline_fraction": round(best.roofline_fraction, 4),
+        "config": {"M": args.M, "K": args.K, "N": args.N, "s": args.s},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

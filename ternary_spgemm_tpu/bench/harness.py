@@ -1,0 +1,188 @@
+"""Benchmark driver: correctness gate + calibrated timing per registered kernel.
+
+TPU-native rebuild of the reference driver (``cpp_impl/main.cpp:35-296``):
+build every container once from a single seeded W (``main.cpp:60-74``; format
+construction deliberately outside the timed region, like the reference's
+lambda-captured ``shared_ptr`` registry, ``main.cpp:76-81``), optionally gate
+every kernel against the dense reference (``-correctness``,
+``main.cpp:206-249``), then time each kernel calibrated
+(``perf.cpp:298-339``) and report speedup vs ``BaseTCSC``
+(``main.cpp:257-263``) plus the instrumented flops/bytes/OI quantities
+(``main.cpp:264-271``). Results serialize to the reference sweep-JSON schema
+(``plots/run_benchmark.py:44-47,103-107``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ternary_spgemm_tpu import reference
+from ternary_spgemm_tpu.bench.instrument import (
+    Instrumentation,
+    advertised_hbm_bandwidth,
+    instrument,
+    roofline_fraction,
+)
+from ternary_spgemm_tpu.bench.timing import TIMERS, TimingResult
+from ternary_spgemm_tpu.formats import (
+    generate_alpha,
+    generate_bias,
+    generate_ternary,
+    generate_x,
+)
+from ternary_spgemm_tpu.ops import all_kernels
+from ternary_spgemm_tpu.ops.api import BASELINE_KERNEL_NAME
+
+
+@dataclasses.dataclass
+class KernelResult:
+    name: str
+    seconds: float
+    runs: int
+    flops: int
+    gflops: float                 # useful-adds throughput (reference convention)
+    effective_gflops: float       # dense-equivalent 2MNK/t (BASELINE.json metric)
+    nnz_per_s: float
+    total_input_bytes: int
+    operational_intensity: float
+    roofline_fraction: float      # of HBM bandwidth
+    correct: Optional[bool] = None
+    max_abs_err: Optional[float] = None
+    speedup: Optional[float] = None
+    error: Optional[str] = None   # sweep runners record per-config failures
+                                  # instead of aborting (run_benchmark.py:46-105)
+
+
+@dataclasses.dataclass
+class BenchConfig:
+    M: int
+    K: int
+    N: int
+    s: int
+    prelu: bool = False
+    seed: int = 0
+    timer: str = "device_loop"
+    min_seconds: float = 0.1
+    correctness: bool = True
+    kernels: Optional[Sequence[str]] = None  # None = whole registry
+
+
+def _build_formats(W, kernels) -> Dict[type, object]:
+    cache: Dict[type, object] = {}
+    for spec in kernels.values():
+        if spec.format_cls not in cache:
+            cache[spec.format_cls] = spec.format_cls.from_dense(W)
+        # (default ctor args, like the driver's fixed BLOCK_SIZE/UNROLL_FACTOR,
+        # main.cpp:7-8; per-format tuning enters via kernel-level wrappers)
+    return cache
+
+
+#: Weight cache across sweep configs that share (K, N, s, seed) — host-side
+#: generation dominates sweep setup time (the M axis reuses W, like the
+#: reference building formats once per binary invocation, main.cpp:60-74).
+_W_CACHE: Dict[tuple, object] = {}
+
+
+def _cached_w(K, N, s, seed):
+    key = (K, N, s, seed)
+    if key not in _W_CACHE:
+        _W_CACHE.clear()  # keep at most one (matrices are up to 64MB)
+        _W_CACHE[key] = generate_ternary(K, N, s, seed=seed)
+    return _W_CACHE[key]
+
+
+def run_config(cfg: BenchConfig, *, bandwidth: Optional[float] = None,
+               verbose: bool = False) -> List[KernelResult]:
+    registry = all_kernels()
+    if cfg.kernels is not None:
+        registry = {n: registry[n] for n in cfg.kernels}
+    W = _cached_w(cfg.K, cfg.N, cfg.s, cfg.seed)
+    X = jax.numpy.asarray(generate_x(cfg.M, cfg.K, seed=cfg.seed + 1))
+    b = generate_bias(cfg.N)
+    alpha = generate_alpha(cfg.N) if cfg.prelu else None
+    formats = _build_formats(W, registry)
+    want = None
+    if cfg.correctness:
+        want = np.asarray(
+            reference.dense_gemm_prelu(X, W, b, alpha) if cfg.prelu
+            else reference.dense_gemm(X, W, b))
+    beta = bandwidth if bandwidth is not None else advertised_hbm_bandwidth()
+    timer = TIMERS[cfg.timer]
+
+    results: List[KernelResult] = []
+    for name, spec in registry.items():
+        fmt = formats[spec.format_cls]
+        inst = instrument(cfg.M, fmt, prelu=cfg.prelu)
+        try:
+            fn = lambda x, _spec=spec, _fmt=fmt: _spec.fn(x, _fmt, b, alpha)
+            correct = max_err = None
+            if want is not None:
+                got = np.asarray(jax.jit(fn)(X))
+                cmp = reference.compare_results(got, want)
+                correct, max_err = bool(cmp) or spec.approximate, cmp.max_abs_err
+            t: TimingResult = timer(fn, X, min_seconds=cfg.min_seconds)
+            results.append(KernelResult(
+                name=name, seconds=t.seconds, runs=t.runs, flops=inst.flops,
+                gflops=inst.flops / t.seconds / 1e9,
+                effective_gflops=inst.dense_equiv_flops / t.seconds / 1e9,
+                nnz_per_s=inst.nnz * cfg.M / t.seconds,
+                total_input_bytes=inst.total_input_bytes,
+                operational_intensity=inst.operational_intensity,
+                roofline_fraction=roofline_fraction(inst, t.seconds, beta),
+                correct=correct, max_abs_err=max_err))
+        except Exception as e:  # record, keep sweeping
+            results.append(KernelResult(
+                name=name, seconds=float("nan"), runs=0, flops=inst.flops,
+                gflops=0.0, effective_gflops=0.0, nnz_per_s=0.0,
+                total_input_bytes=inst.total_input_bytes,
+                operational_intensity=inst.operational_intensity,
+                roofline_fraction=0.0, error=f"{type(e).__name__}: {e}"))
+        if verbose:
+            r = results[-1]
+            status = r.error or (f"{r.seconds*1e6:9.2f} us  {r.gflops:8.2f} GF/s "
+                                 f"(eff {r.effective_gflops:9.2f})  "
+                                 f"roofline {r.roofline_fraction:6.1%}  "
+                                 f"correct={r.correct}")
+            print(f"  {r.name:28s} {status}", flush=True)
+
+    base = next((r for r in results if r.name == BASELINE_KERNEL_NAME
+                 and not r.error), None)
+    if base is not None:
+        for r in results:
+            if not r.error:
+                r.speedup = base.seconds / r.seconds
+    return results
+
+
+def to_reference_json(cfg: BenchConfig, results: List[KernelResult]) -> dict:
+    """Serialize to the reference sweep schema
+    (``plots/run_benchmark.py:44-47,103-107``); ``performance`` is GFLOP/s of
+    useful adds (the reference's flops/cycle re-based to wall time)."""
+    test_case = {"M": cfg.M, "K": cfg.K, "N": cfg.N, "s": cfg.s}
+    out = {}
+    for r in results:
+        if r.error:
+            out[r.name] = {"error": r.error}
+        else:
+            out[r.name] = {
+                "performance": r.gflops,
+                "total_input_size": r.total_input_bytes,
+                "operational_intensity": r.operational_intensity,
+                "effective_gflops": r.effective_gflops,
+                "nnz_per_s": r.nnz_per_s,
+                "roofline_fraction": r.roofline_fraction,
+                "seconds": r.seconds,
+                "speedup": r.speedup,
+                "correct": r.correct,
+            }
+    return {"test_case": test_case, "results": out}
+
+
+def dump_json(records: List[dict], path: str):
+    with open(path, "w") as f:
+        json.dump(records, f, indent=1)

@@ -1,0 +1,97 @@
+"""Analytic flops/bytes instrumentation and the roofline model.
+
+Software analogue of the reference's ``-DINSTRUMENTATION_RUN`` layer: kernels
+there bump a global ``flops`` counter per useful add and record the container
+bytes (``cpp_impl/comp.h:8-21,48-50``); the driver derives flops/cycle and
+operational intensity = flops / (4*(M*K + M*N + N) + ds_bytes)
+(``main.cpp:264-271``, +4N for the PReLU alpha, ``main.cpp:289``). Here the
+same quantities are computed analytically from the container (the kernels are
+traced/compiled, so there is nothing to "count" at runtime), plus TPU-roofline
+quantities the reference derived offline (``plots/plot_roofline.py``).
+
+Flop convention: the reference counts only useful adds, ``flops ~= M*N*(1 +
+K/s)`` (``readme.md:84-85``); we use the exact per-matrix count
+``M*(nnz + N)`` whose expectation is that formula.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ternary_spgemm_tpu.formats.base import TernaryFormat
+
+
+@dataclasses.dataclass(frozen=True)
+class Instrumentation:
+    flops: int                  # useful adds (reference convention)
+    nnz: int
+    total_input_bytes: int      # 4*(M*K + M*N + N [+N]) + container bytes
+    container_bytes: int
+    operational_intensity: float  # flops / total_input_bytes
+
+    @property
+    def dense_equiv_flops(self) -> int:
+        """2*M*N*K — what a dense matmul would be billed; used for the
+        'effective GFLOP/s' headline (BASELINE.json metric)."""
+        return self._dense_flops
+
+    _dense_flops: int = 0
+
+
+def instrument(M: int, fmt: TernaryFormat, *, prelu: bool = False) -> Instrumentation:
+    K, N = fmt.shape
+    nnz = fmt.nnz
+    flops = M * (nnz + N)
+    ds = fmt.size_bytes()
+    total = 4 * (M * K + M * N + N + (N if prelu else 0)) + ds
+    return Instrumentation(
+        flops=flops, nnz=nnz, total_input_bytes=total, container_bytes=ds,
+        operational_intensity=flops / total if total else 0.0,
+        _dense_flops=2 * M * N * K)
+
+
+#: Advertised per-chip HBM bandwidth for roofline defaults (bytes/s).
+#: TPU v5e: 819 GB/s; the bench harness measures the achievable number at
+#: runtime (measure_hbm_bandwidth) and uses the measured beta when possible —
+#: the reference hard-codes beta=24 B/cycle (plot_roofline.py:597).
+ADVERTISED_HBM_GBPS = {
+    "TPU v4": 1228.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5e": 819.0,
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0,
+    "TPU v6e": 1640.0,
+}
+
+
+def advertised_hbm_bandwidth() -> float:
+    """Bytes/s for the current default device, or a conservative default."""
+    import jax
+    kind = jax.devices()[0].device_kind
+    for name, gbps in ADVERTISED_HBM_GBPS.items():
+        if name.lower() in kind.lower():
+            return gbps * 1e9
+    return 819.0 * 1e9
+
+
+def measure_hbm_bandwidth(nbytes: int = 1 << 28) -> float:
+    """Measured streaming bandwidth (bytes/s): time a jitted x+1 over an HBM
+    buffer (reads + writes nbytes each). The TPU analogue of calibrating the
+    reference's beta=24 B/cycle roofline parameter."""
+    import jax
+    import jax.numpy as jnp
+
+    from ternary_spgemm_tpu.bench.timing import time_device_loop
+
+    n = nbytes // 4
+    x = jnp.arange(n, dtype=jnp.float32).reshape(-1, 1024)
+    res = time_device_loop(lambda a: a + 1.0, x, min_seconds=0.05)
+    return 2 * nbytes / res.seconds
+
+
+def roofline_fraction(inst: Instrumentation, seconds: float,
+                      bandwidth_bytes_per_s: float) -> float:
+    """Achieved fraction of the bandwidth roofline: for this memory-bound op
+    the roofline time is total_input_bytes / beta (+ output write-back)."""
+    ideal = inst.total_input_bytes / bandwidth_bytes_per_s
+    return ideal / seconds if seconds > 0 else 0.0

@@ -2,6 +2,7 @@
 
 from ternary_spgemm_tpu.formats.base import TernaryFormat, all_formats, register_format
 from ternary_spgemm_tpu.formats.blocked import BlockedTCSC, InterleavedBlockedTCSC
+from ternary_spgemm_tpu.formats.blocked_ell import BlockedEllTCSC
 from ternary_spgemm_tpu.formats.ell import EllTCSC
 from ternary_spgemm_tpu.formats.generate import (
     generate_alpha,
@@ -22,7 +23,8 @@ from ternary_spgemm_tpu.formats.tcsc import TCSC, TCSR
 
 __all__ = [
     "TernaryFormat", "all_formats", "register_format",
-    "TCSC", "TCSR", "BlockedTCSC", "InterleavedBlockedTCSC", "InterleavedTCSC",
+    "TCSC", "TCSR", "BlockedTCSC", "BlockedEllTCSC", "InterleavedBlockedTCSC",
+    "InterleavedTCSC",
     "EllTCSC", "PackedCSC", "PackedTernary2Bit", "PackedTernary53", "DenseTernary",
     "pack_signs_base3", "unpack_signs_base3",
     "generate_ternary", "generate_x", "generate_bias", "generate_alpha",

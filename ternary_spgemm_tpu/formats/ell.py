@@ -44,9 +44,11 @@ def _ell_plane(W: np.ndarray, value: int, tile_n: int, cap_align: int):
     cap = int(tile_caps.max()) if len(tile_caps) else 0
     cap = max(cap, cap_align)  # keep a non-empty plane for shape stability
     idx = np.full((cap, N_pad), K, dtype=np.int32)
-    for n in range(N):
-        rows = np.nonzero(W[:, n] == value)[0]
-        idx[:len(rows), n] = rows
+    mask = (W == value)
+    # slot of entry (k, n) = its rank within column n (vectorized fill)
+    slots = mask.cumsum(axis=0, dtype=np.int32) - 1
+    k_idx, n_idx = np.nonzero(mask)
+    idx[slots[k_idx, n_idx], n_idx] = k_idx.astype(np.int32)
     return idx, tile_caps
 
 

@@ -41,7 +41,10 @@ import numpy as np
 def _rng(seed) -> np.random.Generator:
     if isinstance(seed, np.random.Generator):
         return seed
-    return np.random.default_rng(seed)
+    # SFC64: ~2-3x faster than the default PCG64 at identical statistical
+    # quality for this use; matters because the sweep grid generates
+    # matrices up to 16384 x 4096 on the host.
+    return np.random.Generator(np.random.SFC64(seed))
 
 
 def generate_ternary(K: int, N: int, s: int, *, seed=0, uniform: bool = False) -> np.ndarray:
@@ -86,9 +89,11 @@ def generate_ternary(K: int, N: int, s: int, *, seed=0, uniform: bool = False) -
     pos_vari = rng.integers(0, vari_hi + 1, size=K)
     limit_pos = half + pos_vari
     limit_neg = half - pos_vari
-    # Vectorized per-row placement: argsort of uniform keys = random permutation.
-    keys = rng.random((K, N))
-    order = np.argsort(keys, axis=1, kind="stable")
+    # Vectorized per-row placement: argsort of uniform keys = random
+    # permutation (f32 keys: tie probability is negligible and ties only
+    # perturb which of two columns gets picked — still uniform).
+    keys = rng.random((K, N), dtype=np.float32)
+    order = np.argsort(keys, axis=1)
     cols = np.arange(N)[None, :]
     plus_mask = cols < limit_pos[:, None]
     minus_mask = (cols >= limit_pos[:, None]) & (cols < (limit_pos + limit_neg)[:, None])

@@ -1,0 +1,27 @@
+"""Model layer: BitNet-style ternary layers and the flagship TernaryMLP.
+
+Net-new relative to the reference (which generates random ternary weights,
+``cpp_impl/sparseUtils.h:26-90``, and has no model/training layer): QAT
+training of ternary layers and export into the inference kernel registry.
+"""
+
+from ternary_spgemm_tpu.models.bitlinear import (
+    BitLinear,
+    TernaryMLP,
+    apply_exported,
+    export_layer,
+    ternary_quantize,
+    ternary_quantize_ste,
+)
+from ternary_spgemm_tpu.models.train import (
+    make_sharded_train_step,
+    make_train_step,
+    mse_loss,
+    param_shardings,
+)
+
+__all__ = [
+    "BitLinear", "TernaryMLP", "apply_exported", "export_layer",
+    "ternary_quantize", "ternary_quantize_ste",
+    "make_train_step", "make_sharded_train_step", "mse_loss", "param_shardings",
+]

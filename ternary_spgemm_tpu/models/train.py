@@ -1,0 +1,84 @@
+"""Training loop pieces: loss, optimizer step, and mesh-sharded training.
+
+Net-new vs the reference (no training anywhere in it). The sharded training
+step demonstrates the framework's full multi-chip story: data-parallel batch
+sharding + Megatron-style alternating column/row tensor parallelism over the
+BitLinear stack, expressed with ``NamedSharding`` and compiled by GSPMD —
+collectives ride ICI, nothing is hand-scheduled.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ternary_spgemm_tpu.models.bitlinear import TernaryMLP
+
+
+def mse_loss(model: TernaryMLP, params, x, y):
+    pred = model.apply(params, x)
+    return jnp.mean((pred - y) ** 2)
+
+
+def make_train_step(model: TernaryMLP, optimizer: optax.GradientTransformation):
+    """Jittable ``(params, opt_state, x, y) -> (params, opt_state, loss)``."""
+
+    def step(params, opt_state, x, y):
+        loss, grads = jax.value_and_grad(
+            lambda p: mse_loss(model, p, x, y))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def param_shardings(model: TernaryMLP, mesh: Mesh, axis: str = "model"):
+    """Megatron-style alternating TP specs for the BitLinear stack: even
+    layers split output features (column-parallel), odd layers split input
+    features (row-parallel), so activations stay sharded between the pair and
+    GSPMD inserts one reduce per pair."""
+    specs = []
+    for i, layer in enumerate(model.layers):
+        col = (i % 2 == 0)
+        entry = {"w": P(None, axis) if col else P(axis, None),
+                 "b": P(axis) if col else P()}
+        if layer.prelu:
+            entry["alpha"] = entry["b"]
+        specs.append(entry)
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda s: isinstance(s, P))
+
+
+def make_sharded_train_step(model: TernaryMLP,
+                            optimizer: optax.GradientTransformation,
+                            mesh: Mesh, *, data_axis: str = "data",
+                            model_axis: str = "model"):
+    """Compile the train step SPMD over a (data x model) mesh.
+
+    Returns ``(jitted_step, place)``; ``place(params, opt_state, x, y)`` lays
+    params out per :func:`param_shardings`, optimizer moments like the params
+    they mirror, and the batch along ``data_axis``.
+    """
+    pshard = param_shardings(model, mesh, model_axis)
+    xshard = NamedSharding(mesh, P(data_axis, None))
+    ptree = jax.tree_util.tree_structure(jax.tree_util.tree_map(lambda s: 0, pshard))
+    jitted = jax.jit(make_train_step(model, optimizer))
+
+    def _mirrors_params(sub) -> bool:
+        try:
+            return jax.tree_util.tree_structure(sub) == ptree
+        except Exception:
+            return False
+
+    def place(params, opt_state, x, y):
+        params = jax.device_put(params, pshard)
+        opt_state = jax.tree_util.tree_map(
+            lambda sub: jax.device_put(sub, pshard) if _mirrors_params(sub) else sub,
+            opt_state, is_leaf=_mirrors_params)
+        return params, opt_state, jax.device_put(x, xshard), jax.device_put(y, xshard)
+
+    return jitted, place

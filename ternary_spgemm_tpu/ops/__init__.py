@@ -1,0 +1,23 @@
+"""Compute kernels: XLA formulations + Pallas TPU kernels.
+
+The TPU-native analogue of the reference's kernel layer
+(``cpp_impl/comp.h`` / ``cpp_impl/comp_prelu.h``). Kernels are registered in
+:mod:`ternary_spgemm_tpu.ops.api` (the ``add_function`` analogue,
+``main.cpp:21-33``) and dispatched via :func:`ternary_spgemm`.
+"""
+
+from ternary_spgemm_tpu.ops.api import (
+    KernelSpec,
+    all_kernels,
+    get_kernel,
+    kernels_for_format,
+    register_kernel,
+    ternary_spgemm,
+)
+from ternary_spgemm_tpu.ops import xla_kernels  # noqa: F401  (registers kernels)
+from ternary_spgemm_tpu.ops import pallas_kernels  # noqa: F401  (registers kernels)
+
+__all__ = [
+    "KernelSpec", "all_kernels", "get_kernel", "kernels_for_format",
+    "register_kernel", "ternary_spgemm",
+]

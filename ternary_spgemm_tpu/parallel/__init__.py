@@ -1,0 +1,27 @@
+"""Multi-chip execution: mesh construction, container sharding, sharded SpMM.
+
+Net-new vs the single-node reference (SURVEY.md §2.3): ``jax.sharding`` +
+``shard_map`` SPMD over ICI/DCN, with the activation all-gather overlapped
+against kernel compute in the multi-host configuration.
+"""
+
+from ternary_spgemm_tpu.parallel.sharding import (
+    SHARDABLE_FORMATS,
+    column_leaf_specs,
+    localize,
+    make_mesh,
+    row_leaf_specs,
+    shard_container,
+    spec_tree,
+)
+from ternary_spgemm_tpu.parallel.spgemm import (
+    column_sharded_spgemm,
+    overlapped_gather_spgemm,
+    row_sharded_spgemm,
+)
+
+__all__ = [
+    "SHARDABLE_FORMATS", "make_mesh", "shard_container", "spec_tree",
+    "column_leaf_specs", "row_leaf_specs", "localize",
+    "column_sharded_spgemm", "row_sharded_spgemm", "overlapped_gather_spgemm",
+]

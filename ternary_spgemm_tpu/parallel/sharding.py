@@ -1,0 +1,141 @@
+"""Device-mesh sharding of ternary containers.
+
+Net-new capability (the reference is strictly single-thread/single-node,
+SURVEY.md §2.3): partition the ternary weight across a ``jax.sharding.Mesh``
+and run the SpMM under ``shard_map`` with XLA collectives over ICI/DCN.
+
+Supported weight partitionings (BASELINE.json's multi-host config is
+column-parallel at N=65536):
+
+* **Column (output) parallel** — each device owns ``N/d`` weight columns plus
+  the matching bias/alpha slice; X is replicated (or all-gathered); the local
+  SpMM produces the device's Y columns; no reduction needed. Natural for
+  split-sign CSC semantics: per-column streams never cross shards.
+* **Row (contraction) parallel** — each device owns ``K/d`` weight rows and
+  the matching X column-slice; partial products combine with ``psum`` /
+  ``psum_scatter``.
+* **Data parallel** — X sharded along M, weights replicated; composes with
+  either of the above on a 2-D mesh (``parallel/spgemm.py``).
+
+Only the *rectangular* physical containers shard: ``DenseTernary``,
+``PackedTernary2Bit``/``53`` (byte planes shard along N; row-parallel shards
+packed-K rows, which stays consistent because stride packing is per-column),
+and ``BlockedEllTCSC`` (planes shard along padded-N; row-parallel along the
+K-block axis, since local offsets never cross blocks). The 1-D stream
+formats (TCSC/TCSR/interleaved) have data-dependent per-column nnz, so
+equal-size static shards do not exist — shard their rectangular companions
+instead. That asymmetry is a TPU design fact (SPMD compilation needs static
+shapes), not a limitation.
+"""
+
+from __future__ import annotations
+
+from typing import Type
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ternary_spgemm_tpu.formats import (
+    BlockedEllTCSC,
+    DenseTernary,
+    PackedTernary2Bit,
+    PackedTernary53,
+)
+from ternary_spgemm_tpu.formats.base import TernaryFormat
+
+#: Formats with rectangular leaves, shardable under SPMD.
+SHARDABLE_FORMATS = (DenseTernary, PackedTernary2Bit, PackedTernary53,
+                     BlockedEllTCSC)
+
+
+def make_mesh(shape: dict, *, devices=None) -> Mesh:
+    """Create a mesh from ``{"axis": size}`` over the default (or given)
+    devices, validating the device count."""
+    names = tuple(shape)
+    sizes = tuple(shape[n] for n in names)
+    n = int(np.prod(sizes))
+    devs = list(devices if devices is not None else jax.devices())
+    if n > len(devs):
+        raise ValueError(f"mesh {shape} needs {n} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:n]).reshape(sizes), names)
+
+
+def _leaf_specs(format_cls: Type[TernaryFormat], axis: str, dim_for: dict):
+    """Build per-ARRAY_FIELDS PartitionSpecs, placing ``axis`` at the dim
+    given by ``dim_for[field]`` (ndim known per format)."""
+    specs = []
+    for f in format_cls.ARRAY_FIELDS:
+        nd, d = dim_for[f]
+        spec = [None] * nd
+        if d is not None:
+            spec[d] = axis
+        specs.append(P(*spec))
+    return specs
+
+
+def column_leaf_specs(format_cls: Type[TernaryFormat], axis: str):
+    """PartitionSpecs (ARRAY_FIELDS order) sharding along output columns N."""
+    if format_cls is DenseTernary:
+        return _leaf_specs(format_cls, axis, {"dense": (2, 1)})
+    if format_cls in (PackedTernary2Bit, PackedTernary53):
+        return _leaf_specs(format_cls, axis, {"packed": (2, 1)})
+    if format_cls is BlockedEllTCSC:
+        return _leaf_specs(format_cls, axis, {
+            "idx_pos": (3, 2), "idx_neg": (3, 2),
+            "tile_cap_pos": (2, 1), "tile_cap_neg": (2, 1)})
+    raise TypeError(
+        f"{format_cls.__name__} is not column-shardable (ragged 1-D streams); "
+        "use one of " + ", ".join(c.__name__ for c in SHARDABLE_FORMATS))
+
+
+def row_leaf_specs(format_cls: Type[TernaryFormat], axis: str):
+    """PartitionSpecs (ARRAY_FIELDS order) sharding along contraction rows K."""
+    if format_cls is DenseTernary:
+        return _leaf_specs(format_cls, axis, {"dense": (2, 0)})
+    if format_cls in (PackedTernary2Bit, PackedTernary53):
+        return _leaf_specs(format_cls, axis, {"packed": (2, 0)})
+    if format_cls is BlockedEllTCSC:
+        return _leaf_specs(format_cls, axis, {
+            "idx_pos": (3, 0), "idx_neg": (3, 0),
+            "tile_cap_pos": (2, 0), "tile_cap_neg": (2, 0)})
+    raise TypeError(f"{format_cls.__name__} is not row-shardable")
+
+
+def spec_tree(fmt: TernaryFormat, leaf_specs):
+    """A pytree with ``fmt``'s treedef (incl. static aux) whose leaves are
+    PartitionSpecs — the shape ``shard_map``/``device_put`` expect."""
+    treedef = jax.tree_util.tree_structure(fmt)
+    return jax.tree_util.tree_unflatten(treedef, leaf_specs)
+
+
+def localize(fmt: TernaryFormat) -> TernaryFormat:
+    """Rebuild static (K, N) metadata from *local* leaf shapes.
+
+    Inside ``shard_map`` the container arrives with global aux metadata but
+    per-shard leaves; kernels specialize on fmt.K/fmt.N, so the local view
+    must carry local numbers.
+    """
+    cls = type(fmt)
+    if cls is DenseTernary:
+        d = fmt.dense
+        return DenseTernary(dense=d, K=d.shape[0], N=d.shape[1])
+    if cls in (PackedTernary2Bit, PackedTernary53):
+        p = fmt.packed
+        return cls(packed=p, K=p.shape[0] * cls.FACTOR, N=p.shape[1])
+    if cls is BlockedEllTCSC:
+        ip = fmt.idx_pos
+        return BlockedEllTCSC(
+            idx_pos=ip, idx_neg=fmt.idx_neg,
+            tile_cap_pos=fmt.tile_cap_pos, tile_cap_neg=fmt.tile_cap_neg,
+            K=min(fmt.K, ip.shape[0] * fmt.block_k), N=ip.shape[2],
+            block_k=fmt.block_k, tile_n=fmt.tile_n, cap_align=fmt.cap_align)
+    raise TypeError(cls.__name__)
+
+
+def shard_container(fmt: TernaryFormat, mesh: Mesh, leaf_specs) -> TernaryFormat:
+    """``device_put`` the container's leaves onto the mesh with the specs."""
+    leaves, treedef = jax.tree_util.tree_flatten(fmt)
+    placed = [jax.device_put(np.asarray(l), NamedSharding(mesh, s))
+              for l, s in zip(leaves, leaf_specs)]
+    return jax.tree_util.tree_unflatten(treedef, placed)

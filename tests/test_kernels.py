@@ -1,0 +1,117 @@
+"""Correctness gate: every registered kernel vs the dense reference.
+
+TPU-native analogue of the reference's ``-correctness`` path
+(``cpp_impl/main.cpp:206-249``): build every format from one random W, run
+every registered kernel, compare elementwise against the dense ``jnp`` GEMM
+within the reference tolerance (abs 1e-5, ``sparseUtils.h:147``). Approximate
+kernels (bf16 MXU) get a relative tolerance instead.
+"""
+
+import numpy as np
+import pytest
+
+from ternary_spgemm_tpu import reference
+from ternary_spgemm_tpu.formats import (
+    BlockedEllTCSC,
+    BlockedTCSC,
+    DenseTernary,
+    EllTCSC,
+    InterleavedBlockedTCSC,
+    InterleavedTCSC,
+    PackedCSC,
+    PackedTernary2Bit,
+    PackedTernary53,
+    TCSC,
+    TCSR,
+    generate_alpha,
+    generate_bias,
+    generate_ternary,
+    generate_x,
+)
+from ternary_spgemm_tpu.ops import all_kernels
+
+# Small enough to run the whole registry quickly on CPU (Pallas in interpret
+# mode), large enough to exercise multi-tile grids in every dimension.
+M, K, N, S = 40, 96, 160, 4
+
+# Format construction kwargs sized for the test shapes (the driver's
+# BLOCK_SIZE=512 analogue, main.cpp:7).
+_FMT_KWARGS = {
+    BlockedTCSC: dict(block_size=32),
+    InterleavedBlockedTCSC: dict(block_size=32, group=2),
+    BlockedEllTCSC: dict(block_k=32, tile_n=128),
+    EllTCSC: dict(tile_n=128),
+}
+
+
+def _build(format_cls, W):
+    return format_cls.from_dense(W, **_FMT_KWARGS.get(format_cls, {}))
+
+
+@pytest.fixture(scope="module")
+def problem():
+    W = generate_ternary(K, N, S, seed=7)
+    X = generate_x(M, K, seed=8)
+    b = generate_bias(N)
+    alpha = generate_alpha(N)
+    want = np.asarray(reference.dense_gemm(X, W, b))
+    want_prelu = np.asarray(reference.dense_gemm_prelu(X, W, b, alpha))
+    return W, X, b, alpha, want, want_prelu
+
+
+@pytest.mark.parametrize("name", sorted(all_kernels()))
+def test_kernel_matches_dense_reference(problem, name):
+    W, X, b, alpha, want, _ = problem
+    spec = all_kernels()[name]
+    fmt = _build(spec.format_cls, W)
+    got = np.asarray(spec(X, fmt, b))
+    if spec.approximate:
+        # bf16 operands: per-term abs error <= |x|*2^-9 <= 1, f32 accumulate
+        # => bound = nnz-per-column ~= K/S terms of error 1 each.
+        np.testing.assert_allclose(got, want, atol=2.0 * (K // S))
+    else:
+        res = reference.compare_results(got, want)
+        assert res, f"{name}: {res}"
+
+
+@pytest.mark.parametrize("name", sorted(all_kernels()))
+def test_kernel_fused_prelu(problem, name):
+    W, X, b, alpha, want, want_prelu = problem
+    spec = all_kernels()[name]
+    fmt = _build(spec.format_cls, W)
+    got = np.asarray(spec(X, fmt, b, alpha))
+    if spec.approximate:
+        np.testing.assert_allclose(got, want_prelu, atol=2.0 * (K // S))
+    else:
+        res = reference.compare_results(got, want_prelu)
+        assert res, f"{name}: {res}"
+
+
+@pytest.mark.parametrize("m", [1, 3, 32])
+def test_north_star_shape_small_m(m):
+    """M=1 row (the reference sweep's smallest M) through the default path."""
+    W = generate_ternary(64, 256, 4, seed=3)
+    X = generate_x(m, 64, seed=4)
+    b = generate_bias(256)
+    want = np.asarray(reference.dense_gemm(X, W, b))
+    for cls in (TCSC, DenseTernary, PackedTernary53):
+        spec = next(s for s in all_kernels().values()
+                    if s.format_cls is cls and not s.approximate)
+        got = np.asarray(spec(X, cls.from_dense(W), b))
+        assert reference.compare_results(got, want), spec.name
+
+
+def test_empty_column_and_row():
+    """Columns/rows with no nonzeros must still produce bias-only outputs."""
+    W = np.zeros((32, 64), np.int8)
+    W[0, 0] = 1
+    W[5, 1] = -1
+    X = generate_x(4, 32, seed=0)
+    b = generate_bias(64)
+    want = np.asarray(reference.dense_gemm(X, W, b))
+    for name, spec in all_kernels().items():
+        if spec.approximate:
+            continue
+        fmt = _build(spec.format_cls, W)
+        got = np.asarray(spec(X, fmt, b))
+        assert reference.compare_results(got, want), name

@@ -1,0 +1,115 @@
+"""Sharded SpMM tests on the 8-device virtual CPU mesh (conftest.py).
+
+The multi-host capability is net-new vs the reference (SURVEY.md §2.3);
+the test pattern follows §4's prescription: fake multi-device backend via
+``--xla_force_host_platform_device_count``, correctness vs the dense
+reference at the usual 1e-5 absolute tolerance.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from ternary_spgemm_tpu import reference
+from ternary_spgemm_tpu.formats import (
+    BlockedEllTCSC,
+    DenseTernary,
+    PackedTernary53,
+    TCSC,
+    generate_alpha,
+    generate_bias,
+    generate_ternary,
+    generate_x,
+)
+from ternary_spgemm_tpu.parallel import (
+    column_leaf_specs,
+    column_sharded_spgemm,
+    make_mesh,
+    overlapped_gather_spgemm,
+    row_sharded_spgemm,
+    shard_container,
+)
+
+M, K, N, S = 16, 128, 512, 4
+
+
+@pytest.fixture(scope="module")
+def problem():
+    W = generate_ternary(K, N, S, seed=11)
+    X = generate_x(M, K, seed=12)
+    b = generate_bias(N)
+    alpha = generate_alpha(N)
+    want = np.asarray(reference.dense_gemm(X, W, b))
+    want_p = np.asarray(reference.dense_gemm_prelu(X, W, b, alpha))
+    return W, X, b, alpha, want, want_p
+
+
+@pytest.mark.parametrize("fmt_cls", [DenseTernary, PackedTernary53, BlockedEllTCSC])
+def test_column_sharded(problem, fmt_cls):
+    W, X, b, alpha, want, want_p = problem
+    mesh = make_mesh({"model": 4})
+    fmt = fmt_cls.from_dense(W)
+    got = np.asarray(column_sharded_spgemm(X, fmt, b, mesh=mesh, axis="model"))
+    assert reference.compare_results(got, want)
+    got_p = np.asarray(column_sharded_spgemm(X, fmt, b, alpha, mesh=mesh, axis="model"))
+    assert reference.compare_results(got_p, want_p)
+
+
+def test_column_sharded_with_placed_container(problem):
+    W, X, b, alpha, want, _ = problem
+    mesh = make_mesh({"model": 4})
+    fmt = DenseTernary.from_dense(W)
+    placed = shard_container(fmt, mesh, column_leaf_specs(DenseTernary, "model"))
+    got = np.asarray(column_sharded_spgemm(X, placed, b, mesh=mesh, axis="model"))
+    assert reference.compare_results(got, want)
+
+
+def test_2d_mesh_data_x_model(problem):
+    W, X, b, alpha, want, _ = problem
+    mesh = make_mesh({"data": 2, "model": 4})
+    fmt = PackedTernary53.from_dense(W)
+    got = np.asarray(column_sharded_spgemm(
+        X, fmt, b, mesh=mesh, axis="model", batch_axis="data"))
+    assert reference.compare_results(got, want)
+
+
+@pytest.mark.parametrize("scatter", [False, True])
+def test_row_sharded(problem, scatter):
+    W, X, b, alpha, want, want_p = problem
+    mesh = make_mesh({"model": 4})
+    fmt = DenseTernary.from_dense(W)
+    got = np.asarray(row_sharded_spgemm(
+        X, fmt, b, mesh=mesh, axis="model", scatter_output=scatter))
+    assert reference.compare_results(got, want)
+    got_p = np.asarray(row_sharded_spgemm(
+        X, fmt, b, alpha, mesh=mesh, axis="model", scatter_output=scatter))
+    assert reference.compare_results(got_p, want_p)
+
+
+def test_row_sharded_blocked_ell(problem):
+    W, X, b, alpha, want, _ = problem
+    mesh = make_mesh({"model": 4})
+    # block_k must divide K/d so K-blocks never straddle shards
+    fmt = BlockedEllTCSC.from_dense(W, block_k=32)
+    got = np.asarray(row_sharded_spgemm(X, fmt, b, mesh=mesh, axis="model"))
+    assert reference.compare_results(got, want)
+
+
+@pytest.mark.parametrize("fmt_cls", [DenseTernary, PackedTernary53])
+def test_overlapped_gather(problem, fmt_cls):
+    W, X, b, alpha, want, want_p = problem
+    mesh = make_mesh({"model": 8})
+    fmt = fmt_cls.from_dense(W)
+    got = np.asarray(overlapped_gather_spgemm(X, fmt, b, mesh=mesh, axis="model"))
+    assert reference.compare_results(got, want)
+    got_p = np.asarray(overlapped_gather_spgemm(
+        X, fmt, b, alpha, mesh=mesh, axis="model"))
+    assert reference.compare_results(got_p, want_p)
+
+
+def test_unshardable_format_raises(problem):
+    W, X, b, *_ = problem
+    mesh = make_mesh({"model": 4})
+    fmt = TCSC.from_dense(W)
+    with pytest.raises(TypeError, match="not column-shardable"):
+        column_sharded_spgemm(X, fmt, b, mesh=mesh, axis="model")

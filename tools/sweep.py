@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark sweep runner — the ``run_benchmark.py`` analogue.
+
+Drives the canonical grid of the reference
+(``run_benchmark.py:13-24``): M in {1,16,64,256,1000,4000,16000,64000} x
+(K,N) in {(512,2048),(1024,4096),(2048,8192),(4096,16384),(2048,512),
+(4096,1024),(8192,2048),(16384,4096)} x s in {2,4,8,16}; or single-dimension
+sweeps with the other dims fixed at 1024 (``plots/run_benchmark.py:8-18``,
+``--varyonly M|K|N``) and a sparsity-only sweep (``--sparsityonly``).
+
+Unlike the reference (which subprocess-spawns the benchmark binary per config
+and regex-parses ANSI stdout), the sweep calls the harness in-process and
+writes the same JSON schema: a list of
+``{"test_case": {M,K,N,s}, "results": {name: {...}}}`` records.
+
+Weight matrices are cached per (K, N, s) across the M sweep (host-side
+generation is the slow part on the bench host).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import sys
+import time
+
+CANONICAL_M = [1, 16, 64, 256, 1000, 4000, 16000, 64000]
+CANONICAL_KN = [(512, 2048), (1024, 4096), (2048, 8192), (4096, 16384),
+                (2048, 512), (4096, 1024), (8192, 2048), (16384, 4096)]
+CANONICAL_S = [2, 4, 8, 16]
+VARY_DIM_VALUES = [256, 512, 1024, 2048, 4096, 8192]   # plots/run_benchmark.py:8-18
+FIXED = 1024
+
+
+def build_grid(args):
+    if args.varyonly:
+        d = args.varyonly
+        for v in VARY_DIM_VALUES:
+            cfg = {"M": FIXED, "K": FIXED, "N": FIXED}
+            cfg[d] = v
+            for s in (args.s_values or CANONICAL_S):
+                yield cfg["M"], cfg["K"], cfg["N"], s
+        return
+    if args.sparsityonly:
+        for s in (args.s_values or CANONICAL_S):
+            yield FIXED, FIXED, FIXED, s
+        return
+    ms = args.m_values or CANONICAL_M
+    kns = args.kn or CANONICAL_KN
+    ss = args.s_values or CANONICAL_S
+    for (k, n), s, m in itertools.product(kns, ss, ms):
+        yield m, k, n, s
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--output", default="sweep_results.json")
+    p.add_argument("--varyonly", choices=["M", "K", "N"], default=None)
+    p.add_argument("--sparsityonly", action="store_true")
+    p.add_argument("--m-values", type=int, nargs="*", default=None)
+    p.add_argument("--kn", type=lambda s: tuple(map(int, s.split("x"))),
+                   nargs="*", default=None, metavar="KxN")
+    p.add_argument("--s-values", type=int, nargs="*", default=None)
+    p.add_argument("--kernels", default=None,
+                   help="comma-separated kernel names (default: bench.py set)")
+    p.add_argument("--correctness", action="store_true")
+    p.add_argument("--min-seconds", type=float, default=0.05)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--limit", type=int, default=None,
+                   help="stop after this many configs (smoke runs)")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from bench import DEFAULT_KERNELS
+    from ternary_spgemm_tpu.bench import BenchConfig, run_config, to_reference_json
+
+    kernels = args.kernels.split(",") if args.kernels else DEFAULT_KERNELS
+    records = []
+    grid = list(build_grid(args))
+    if args.limit:
+        grid = grid[:args.limit]
+    t_start = time.time()
+    for i, (m, k, n, s) in enumerate(grid):
+        cfg = BenchConfig(M=m, K=k, N=n, s=s, kernels=kernels,
+                          correctness=args.correctness,
+                          min_seconds=args.min_seconds)
+        print(f"[{i+1}/{len(grid)}] M={m} K={k} N={n} s={s} "
+              f"(elapsed {time.time()-t_start:.0f}s)", flush=True)
+        try:
+            results = run_config(cfg, verbose=True)
+        except Exception as e:  # record per-config failure, keep sweeping
+            records.append({"test_case": {"M": m, "K": k, "N": n, "s": s},
+                            "error": f"{type(e).__name__}: {e}"})
+            continue
+        records.append(to_reference_json(cfg, results))
+        with open(args.output, "w") as f:   # checkpoint after every config
+            json.dump(records, f, indent=1)
+    print(f"wrote {len(records)} records -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    sys.exit(main())
