@@ -28,7 +28,9 @@ REFERENCE_GFLOPS = 33_685_504 / (2.31712e7 / 3.2e9) / 1e9
 #: formulations exist for capability parity but are not competitive on TPU;
 #: include them with --all).
 DEFAULT_KERNELS = [
-    "PallasDense", "PallasDense_bf16", "PallasPacked2Bit", "PallasPacked53",
+    "PallasDense", "PallasDense_bf16", "PallasDense_i8",
+    "PallasPacked2Bit", "PallasPacked2Bit_i8",
+    "PallasPacked53", "PallasPacked53_i8",
     "PallasEllGather", "DenseMXU", "DenseMXU_bf16",
 ]
 
@@ -79,7 +81,13 @@ def main(argv=None) -> int:
                           "value": 0.0, "unit": "GFLOP/s", "vs_baseline": 0.0,
                           "error": "; ".join(f"{r.name}: {r.error}" for r in results)}))
         return 1
-    best = max(ok, key=lambda r: r.gflops)
+    from ternary_spgemm_tpu.ops import all_kernels
+    registry = all_kernels()
+    exact = [r for r in ok if not registry[r.name].approximate]
+    # Headline = best kernel that passes the reference's exact tolerance
+    # gate; the bf16 fast path is reported alongside.
+    best = max(exact or ok, key=lambda r: r.gflops)
+    best_any = max(ok, key=lambda r: r.gflops)
     print(json.dumps({
         "metric": "ternary_spgemm_useful_gflops",
         "value": round(best.gflops, 3),
@@ -90,6 +98,8 @@ def main(argv=None) -> int:
         "effective_gflops": round(best.effective_gflops, 3),
         "nnz_per_s": best.nnz_per_s,
         "roofline_fraction": round(best.roofline_fraction, 4),
+        "best_any_kernel": best_any.name,
+        "best_any_gflops": round(best_any.gflops, 3),
         "config": {"M": args.M, "K": args.K, "N": args.N, "s": args.s},
     }))
     return 0

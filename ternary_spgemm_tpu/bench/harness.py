@@ -67,7 +67,7 @@ class BenchConfig:
     prelu: bool = False
     seed: int = 0
     timer: str = "device_loop"
-    min_seconds: float = 0.1
+    min_seconds: float = 0.2
     correctness: bool = True
     kernels: Optional[Sequence[str]] = None  # None = whole registry
 

@@ -2,45 +2,54 @@
 
 TPU-native replacement for the reference's calibrated cycle timers
 (``cpp_impl/perf.cpp:38-296``). The reference's protocol: run the kernel,
-doubling ``num_runs`` (from 1, capped 2^14) until total >= CYCLES_REQUIRED =
-1e8 cycles, then re-time at the calibrated count and divide
-(``perf.cpp:28-29,45-68``). The TPU complications it never had:
+doubling ``num_runs`` until total >= CYCLES_REQUIRED = 1e8 cycles, then
+re-time at the calibrated count and divide (``perf.cpp:28-29,45-68``). The
+TPU complications it never had, and how this module handles them:
 
-* **Async dispatch** — ``f(x)`` returns before the device runs; every timed
-  region must end in ``jax.block_until_ready``.
-* **Dispatch overhead** — a Python->C++->device round trip costs O(10us),
-  swamping a microsecond-scale kernel. So the default timer runs the kernel
-  inside an on-device ``lax.while_loop`` whose carry forces a serial
-  dependency between iterations (a ``+ s*1e-30`` perturbation that is exactly
-  representable as a no-op on the f32 values but opaque to XLA, so the loop
-  body cannot be hoisted/CSE'd), amortizing one dispatch over the whole
-  calibrated run.
-* **Compilation caching** — the first call compiles (20-40s on TPU); warm-up
-  runs are excluded exactly like the reference's warm-up loop
-  (``perf.cpp:45-52``).
+* **Async dispatch** — ``f(x)`` returns before the device runs. Worse, on
+  tunneled devices even ``jax.block_until_ready`` has been observed to
+  return before execution completes; the only reliable fence is a real
+  device->host readback. Every timed region here therefore ends by fetching
+  a scalar derived from the result.
+* **Dispatch + readback overhead** — a Python->device round trip costs
+  O(ms..tens of ms) with high jitter, swamping a microsecond kernel. Two
+  defenses: (a) the kernel runs inside an on-device ``lax.while_loop`` whose
+  carry forces a serial dependency between iterations (a ``+ s*1e-30``
+  perturbation that is a bit-exact no-op on the f32 values but opaque to
+  XLA), amortizing one dispatch over the whole run; (b) the per-iteration
+  time is the **slope** between a run of n and a run of n/2 iterations, so
+  any fixed per-call overhead cancels exactly. The median of three slope
+  measurements rejects jitter spikes.
+* **Compilation caching** — the first call compiles (tens of seconds on
+  TPU) and the first readback initializes the transfer path (minutes on a
+  tunneled device); both are excluded by the warm-up fetch, exactly like the
+  reference's warm-up loop (``perf.cpp:45-52``).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import statistics
 import time
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-
-#: Calibration target, the reference's CYCLES_REQUIRED=1e8 at ~1GHz (perf.cpp:28).
-MIN_SECONDS = 0.1
-#: Max calibrated runs, the reference's 2^14 cap (perf.cpp:55).
-MAX_RUNS = 1 << 14
+#: Calibration target for the (t(n) - t(n/2)) slope window — plays the role
+#: of the reference's CYCLES_REQUIRED=1e8 (perf.cpp:28).
+MIN_SECONDS = 0.2
+#: Max calibrated runs (the reference caps at 2^14, perf.cpp:55; the slope
+#: method needs headroom above the per-call overhead).
+MAX_RUNS = 1 << 16
 
 
 @dataclasses.dataclass(frozen=True)
 class TimingResult:
-    seconds: float       # per-invocation wall seconds at the calibrated count
-    runs: int            # calibrated invocation count
-    total_seconds: float
+    seconds: float       # per-invocation seconds (slope estimate)
+    runs: int            # iterations of the larger calibrated run
+    total_seconds: float # wall time of the larger calibrated run
 
 
 def _device_loop(fn: Callable) -> Callable:
@@ -67,55 +76,53 @@ def _device_loop(fn: Callable) -> Callable:
 
 def time_device_loop(fn: Callable, x, *, min_seconds: float = MIN_SECONDS,
                      max_runs: int = MAX_RUNS) -> TimingResult:
-    """Calibrated on-device-loop timing of ``fn(x)`` (the default)."""
+    """Calibrated on-device-loop slope timing of ``fn(x)`` (the default)."""
     looped = _device_loop(fn)
-    jax.block_until_ready(looped(x, 1))  # compile + warm
-    n = 1
-    while True:
+    # Warm-up fetch: compiles, runs once, and forces transfer-path init.
+    float(np.asarray(looped(x, 1)))
+
+    def t_at(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(looped(x, n))
-        t = time.perf_counter() - t0
-        if t >= min_seconds or n >= max_runs:
-            break
+        float(np.asarray(looped(x, n)))  # readback = the only reliable fence
+        return time.perf_counter() - t0
+
+    n = 16
+    t_half, t_n = t_at(n // 2), t_at(n)
+    while (t_n - t_half) < min_seconds and n < max_runs:
         n *= 2
-    # Re-time at the calibrated count (the reference re-times too,
-    # perf.cpp:62-68) minus the loop's own overhead measured at n=0.
-    t0 = time.perf_counter()
-    jax.block_until_ready(looped(x, n))
-    t = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.block_until_ready(looped(x, 0))
-    t_overhead = time.perf_counter() - t0
-    t = max(t - t_overhead, 1e-12)
-    return TimingResult(seconds=t / n, runs=n, total_seconds=t)
+        t_half, t_n = t_n, t_at(n)
+    diffs = [t_n - t_half]
+    for _ in range(2):
+        diffs.append(t_at(n) - t_at(n // 2))
+    d = max(statistics.median(diffs), 1e-9)
+    return TimingResult(seconds=d / (n - n // 2), runs=n, total_seconds=t_n)
 
 
 def time_wall(fn: Callable, x, *, min_seconds: float = MIN_SECONDS,
               max_runs: int = MAX_RUNS) -> TimingResult:
     """Host-dispatch wall timing (includes per-call dispatch overhead).
 
-    Matches what a user sees calling the op once per step from Python; the
-    honest number for end-to-end layer latency, vs :func:`time_device_loop`
-    which is the honest number for kernel throughput.
+    What a user sees calling the op once per step from Python — the honest
+    number for end-to-end layer latency, vs :func:`time_device_loop` which
+    is the honest number for kernel throughput. The timed region ends with a
+    scalar readback of the last result for a true fence.
     """
     f = jax.jit(fn)
-    jax.block_until_ready(f(x))
-    n = 1
-    while True:
+    float(np.asarray(jnp.ravel(f(x))[0]))  # compile + transfer-path warm-up
+
+    def t_at(n):
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
             out = f(x)
-        jax.block_until_ready(out)
-        t = time.perf_counter() - t0
-        if t >= min_seconds or n >= max_runs:
-            break
+        float(np.asarray(jnp.ravel(out)[0]))
+        return time.perf_counter() - t0
+
+    n = 1
+    t = t_at(n)
+    while t < min_seconds and n < max_runs:
         n *= 2
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(x)
-    jax.block_until_ready(out)
-    t = time.perf_counter() - t0
+        t = t_at(n)
     return TimingResult(seconds=t / n, runs=n, total_seconds=t)
 
 

