@@ -31,6 +31,7 @@ DEFAULT_KERNELS = [
     "PallasDense", "PallasDense_bf16", "PallasDense_i8",
     "PallasPacked2Bit", "PallasPacked2Bit_i8",
     "PallasPacked53", "PallasPacked53_i8",
+    "PallasBlockPacked_i8",
     "PallasEllGather", "DenseMXU", "DenseMXU_bf16",
 ]
 

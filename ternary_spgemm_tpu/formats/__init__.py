@@ -12,6 +12,7 @@ from ternary_spgemm_tpu.formats.generate import (
 )
 from ternary_spgemm_tpu.formats.interleaved import InterleavedTCSC
 from ternary_spgemm_tpu.formats.packed import (
+    BlockPackedTernary,
     DenseTernary,
     PackedCSC,
     PackedTernary2Bit,
@@ -25,7 +26,8 @@ __all__ = [
     "TernaryFormat", "all_formats", "register_format",
     "TCSC", "TCSR", "BlockedTCSC", "BlockedEllTCSC", "InterleavedBlockedTCSC",
     "InterleavedTCSC",
-    "EllTCSC", "PackedCSC", "PackedTernary2Bit", "PackedTernary53", "DenseTernary",
+    "EllTCSC", "PackedCSC", "PackedTernary2Bit", "PackedTernary53",
+    "BlockPackedTernary", "DenseTernary",
     "pack_signs_base3", "unpack_signs_base3",
     "generate_ternary", "generate_x", "generate_bias", "generate_alpha",
 ]

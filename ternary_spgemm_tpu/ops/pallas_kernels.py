@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ternary_spgemm_tpu.formats import (
     BlockedEllTCSC,
+    BlockPackedTernary,
     DenseTernary,
     PackedTernary2Bit,
     PackedTernary53,
@@ -430,6 +431,90 @@ def pallas_packed2_i8_kernel(X, fmt: PackedTernary2Bit, bias, alpha=None, **tile
 def pallas_packed53_i8_kernel(X, fmt: PackedTernary53, bias, alpha=None, **tiles):
     return _packed_i8_fused(X, fmt.packed, X.shape[1], fmt.N, fmt.FACTOR, bias,
                             alpha, base3=True, **tiles)
+
+
+# ---------------------------------------------------------------------------
+# Block-packed single-dot kernel (PallasBlockPacked_i8) — the flagship.
+#
+# The global stride layouts force `factor` separate MXU dots per K-step
+# (one per decoded field); at small M the per-dot overhead erases the
+# bandwidth win of packing. The BlockPackedTernary layout localizes the
+# stride within blocks of factor*tile_kq dense rows, so the decoded fields
+# concatenate (along sublanes) into ONE contiguous weight tile and the
+# kernel does ONE int8 dot per (a, r) operand per K-block.
+# ---------------------------------------------------------------------------
+
+
+def _blockpacked_i8_kernel(a_ref, r_ref, p_ref, b_ref, al_ref, o_ref,
+                           acc_ref, wsum_ref, *, factor: int, has_alpha: bool):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    p = p_ref[:].astype(jnp.int32)
+    ws = []
+    q = p
+    for j in range(factor):
+        if factor == 5:
+            qn = (q * 171) >> 9          # == q // 3 for q < 512
+            d = q - 3 * qn
+            q = qn
+            ws.append((d - 3 * (d >> 1)).astype(jnp.int8))
+        else:
+            c = (p >> (2 * j)) & 3
+            ws.append(((c & 1) - (c & 2)).astype(jnp.int8))
+    w_full = jnp.concatenate(ws, axis=0)     # (factor*TKq, TN) contiguous rows
+    acc_ref[:] += 8 * jnp.dot(a_ref[:], w_full, preferred_element_type=jnp.int32) \
+        + jnp.dot(r_ref[:], w_full, preferred_element_type=jnp.int32)
+    wsum_ref[:] += jnp.sum(w_full.astype(jnp.int32), axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = _i8_epilogue(acc_ref[:], wsum_ref[:], b_ref, al_ref, has_alpha)
+
+
+@register_kernel(
+    "PallasBlockPacked_i8", BlockPackedTernary,
+    description="block-local packed codes -> single int8 MXU dot per K-block "
+                "(exact for integer activations |x|<=512); flagship kernel",
+    reference="readme.md:108-111 roadmap codec + BlockedTCSC.h cache-coupled "
+              "blocking, fused epilogue comp_prelu.h:12-70")
+def pallas_blockpacked_i8_kernel(X, fmt: BlockPackedTernary, bias, alpha=None,
+                                 *, tm: int = 256, tn: int = 1024):
+    M = X.shape[0]
+    N = fmt.N
+    f, TKq = fmt.factor, fmt.tile_kq
+    B = f * TKq
+    nb = fmt.num_blocks
+    TM = min(round_up(M, 32), tm)
+    TN = min(round_up(N, 128), tn)
+    a8, r8 = _int8_split(X)
+    a8 = jnp.pad(a8, ((0, round_up(M, TM) - M), (0, nb * B - X.shape[1])))
+    r8 = jnp.pad(r8, ((0, round_up(M, TM) - M), (0, nb * B - X.shape[1])))
+    Pp = _pad2(jnp.asarray(fmt.packed), TKq, TN)
+    bp = _row_vec(bias, TN)
+    ap = _row_vec(alpha if alpha is not None else np.zeros(N, np.float32), TN)
+    grid = (a8.shape[0] // TM, Pp.shape[1] // TN, nb)
+    out = pl.pallas_call(
+        functools.partial(_blockpacked_i8_kernel, factor=f,
+                          has_alpha=alpha is not None),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, B), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, B), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TKq, TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((a8.shape[0], Pp.shape[1]), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32),
+                        pltpu.VMEM((1, TN), jnp.int32)],
+        interpret=_interpret(),
+    )(a8, r8, Pp, bp, ap)
+    return out[:M, :N]
 
 
 # ---------------------------------------------------------------------------

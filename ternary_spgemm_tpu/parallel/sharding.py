@@ -38,6 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ternary_spgemm_tpu.formats import (
     BlockedEllTCSC,
+    BlockPackedTernary,
     DenseTernary,
     PackedTernary2Bit,
     PackedTernary53,
@@ -46,7 +47,7 @@ from ternary_spgemm_tpu.formats.base import TernaryFormat
 
 #: Formats with rectangular leaves, shardable under SPMD.
 SHARDABLE_FORMATS = (DenseTernary, PackedTernary2Bit, PackedTernary53,
-                     BlockedEllTCSC)
+                     BlockPackedTernary, BlockedEllTCSC)
 
 
 def make_mesh(shape: dict, *, devices=None) -> Mesh:
@@ -78,7 +79,7 @@ def column_leaf_specs(format_cls: Type[TernaryFormat], axis: str):
     """PartitionSpecs (ARRAY_FIELDS order) sharding along output columns N."""
     if format_cls is DenseTernary:
         return _leaf_specs(format_cls, axis, {"dense": (2, 1)})
-    if format_cls in (PackedTernary2Bit, PackedTernary53):
+    if format_cls in (PackedTernary2Bit, PackedTernary53, BlockPackedTernary):
         return _leaf_specs(format_cls, axis, {"packed": (2, 1)})
     if format_cls is BlockedEllTCSC:
         return _leaf_specs(format_cls, axis, {
@@ -123,6 +124,10 @@ def localize(fmt: TernaryFormat) -> TernaryFormat:
     if cls in (PackedTernary2Bit, PackedTernary53):
         p = fmt.packed
         return cls(packed=p, K=p.shape[0] * cls.FACTOR, N=p.shape[1])
+    if cls is BlockPackedTernary:
+        p = fmt.packed
+        return cls(packed=p, K=min(fmt.K, p.shape[0] * fmt.factor),
+                   N=p.shape[1], factor=fmt.factor, tile_kq=fmt.tile_kq)
     if cls is BlockedEllTCSC:
         ip = fmt.idx_pos
         return BlockedEllTCSC(

@@ -12,7 +12,9 @@ import pytest
 from ternary_spgemm_tpu.formats import (
     TCSC,
     TCSR,
+    BlockedEllTCSC,
     BlockedTCSC,
+    BlockPackedTernary,
     EllTCSC,
     DenseTernary,
     InterleavedBlockedTCSC,
@@ -27,7 +29,8 @@ from ternary_spgemm_tpu.formats import (
 )
 
 SIMPLE_FORMATS = [TCSC, TCSR, InterleavedTCSC, PackedCSC,
-                  PackedTernary2Bit, PackedTernary53, EllTCSC, DenseTernary]
+                  PackedTernary2Bit, PackedTernary53, BlockPackedTernary,
+                  EllTCSC, BlockedEllTCSC, DenseTernary]
 BLOCKED_FORMATS = [BlockedTCSC, InterleavedBlockedTCSC]
 
 
@@ -82,6 +85,15 @@ def test_blocked_requires_divisible_k():
         BlockedTCSC.from_dense(W, block_size=32)
 
 
+def test_blockpacked_base3_roundtrip():
+    # factor=5 codec variant (default param covers factor=4)
+    for K, N in [(100, 64), (2560, 128)]:
+        W = generate_ternary(K, N, 4, seed=1)
+        f = BlockPackedTernary.from_dense(W, factor=5, tile_kq=128)
+        np.testing.assert_array_equal(f.to_dense(), W)
+        assert f.size_bytes() == f.packed.size
+
+
 def test_base3_codec_stream():
     rng = np.random.default_rng(0)
     for n in [0, 1, 4, 5, 6, 123]:
@@ -107,9 +119,10 @@ def test_ell_padding_is_per_tile_not_global_tail():
 
 def test_format_registry_has_all():
     names = set(all_formats())
-    assert {"TCSC", "TCSR", "BlockedTCSC", "InterleavedTCSC",
-            "InterleavedBlockedTCSC", "EllTCSC", "PackedCSC",
-            "PackedTernary2Bit", "PackedTernary53", "DenseTernary"} <= names
+    assert {"TCSC", "TCSR", "BlockedTCSC", "BlockedEllTCSC",
+            "InterleavedTCSC", "InterleavedBlockedTCSC", "EllTCSC",
+            "PackedCSC", "PackedTernary2Bit", "PackedTernary53",
+            "BlockPackedTernary", "DenseTernary"} <= names
 
 
 def test_formats_are_pytrees():
