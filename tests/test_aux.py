@@ -1,0 +1,76 @@
+"""Auxiliary subsystems: profiling/cost analysis, checkpoint/resume."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ternary_spgemm_tpu import checkpoint, profiling
+from ternary_spgemm_tpu.formats import (
+    BlockPackedTernary,
+    PackedTernary53,
+    generate_bias,
+    generate_ternary,
+)
+from ternary_spgemm_tpu.models import TernaryMLP, apply_exported
+
+
+def test_hlo_cost_reports_flops():
+    f = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    a = jnp.ones((64, 128))
+    b = jnp.ones((128, 256))
+    cost = profiling.hlo_cost(f, a, b)
+    # 2*M*N*K FMA-convention flops
+    assert cost.get("flops", 0) >= 64 * 128 * 256
+
+
+def test_compiled_memory_reports_sizes():
+    f = lambda a: a * 2.0
+    m = profiling.compiled_memory(f, jnp.ones((128, 128)))
+    if m:  # backend-dependent; must be consistent when present
+        assert m.get("argument_size_in_bytes", 0) >= 128 * 128 * 4
+
+
+def test_trace_writes_files(tmp_path):
+    d = str(tmp_path / "trace")
+    with profiling.trace(d):
+        jax.block_until_ready(jnp.ones((64, 64)) * 3)
+    files = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
+    assert files, "profiler trace produced no files"
+
+
+def test_pytree_checkpoint_roundtrip(tmp_path):
+    model = TernaryMLP([8, 16, 4])
+    params = model.init(jax.random.key(0))
+    opt_state = optax.adam(1e-3).init(params)
+    state = {"params": params, "opt": opt_state, "step": jnp.int32(7)}
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_pytree(path, state)
+    restored = checkpoint.restore_pytree(path, state)
+    ref_leaves = jax.tree_util.tree_leaves(state)
+    got_leaves = jax.tree_util.tree_leaves(restored)
+    assert len(ref_leaves) == len(got_leaves)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_container_bundle_roundtrip(tmp_path):
+    W = generate_ternary(64, 128, 4, seed=5)
+    for cls, kw in [(PackedTernary53, {}),
+                    (BlockPackedTernary, dict(factor=4, tile_kq=128))]:
+        fmt = cls.from_dense(W, **kw)
+        b = generate_bias(128)
+        path = str(tmp_path / f"bundle_{cls.__name__}")
+        checkpoint.save_container(path, fmt, gamma=0.25, bias=b)
+        fmt2, gamma, b2, alpha = checkpoint.load_container(path)
+        assert type(fmt2) is cls
+        assert gamma == 0.25
+        np.testing.assert_array_equal(fmt2.to_dense(), W)
+        np.testing.assert_array_equal(b2, b)
+        assert alpha is None
+        # restored bundle runs through the kernel registry
+        x = jnp.ones((4, 64))
+        y = apply_exported(x, fmt2, gamma, b2)
+        assert y.shape == (4, 128)
