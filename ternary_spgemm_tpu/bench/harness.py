@@ -92,7 +92,14 @@ def _cached_w(K, N, s, seed):
     key = (K, N, s, seed)
     if key not in _W_CACHE:
         _W_CACHE.clear()  # keep at most one (matrices are up to 64MB)
-        _W_CACHE[key] = generate_ternary(K, N, s, seed=seed)
+        # Native Floyd-sampling generator when built (O(K*N/s) vs a full
+        # argsort — the difference between seconds and tens of minutes at the
+        # 11008^2 BitNet sweep shapes on the bench host).
+        from ternary_spgemm_tpu import native
+        if native.native_available():
+            _W_CACHE[key] = native.gen_ternary(K, N, s, seed=seed)
+        else:
+            _W_CACHE[key] = generate_ternary(K, N, s, seed=seed)
     return _W_CACHE[key]
 
 
@@ -102,7 +109,11 @@ def run_config(cfg: BenchConfig, *, bandwidth: Optional[float] = None,
     if cfg.kernels is not None:
         registry = {n: registry[n] for n in cfg.kernels}
     W = _cached_w(cfg.K, cfg.N, cfg.s, cfg.seed)
-    X = jax.numpy.asarray(generate_x(cfg.M, cfg.K, seed=cfg.seed + 1))
+    from ternary_spgemm_tpu import native
+    if native.native_available():
+        X = jax.numpy.asarray(native.gen_x(cfg.M, cfg.K, seed=cfg.seed + 1))
+    else:
+        X = jax.numpy.asarray(generate_x(cfg.M, cfg.K, seed=cfg.seed + 1))
     b = generate_bias(cfg.N)
     alpha = generate_alpha(cfg.N) if cfg.prelu else None
     formats = _build_formats(W, registry)

@@ -54,10 +54,12 @@ def _blocked_planes(W: np.ndarray, value: int, block_k: int, tile_n: int, cap_al
     cap = max(int(tile_caps.max()) if tile_caps.size else 0, cap_align)
     # slot of entry (b, r, n) = its rank among the column's entries in the
     # block = exclusive running count down the block axis (vectorized fill).
+    # Local offsets < block_k <= 128 fit int8 (sentinel -1) — the physical
+    # layout matches the 1-byte/slot accounting of size_bytes.
     slot3 = m3.cumsum(axis=1, dtype=np.int32) - 1
     b_idx, r_idx, n_idx = np.nonzero(m3)
-    idx = np.full((nb, cap, N_pad), -1, dtype=np.int32)
-    idx[b_idx, slot3[b_idx, r_idx, n_idx], n_idx] = r_idx.astype(np.int32)
+    idx = np.full((nb, cap, N_pad), -1, dtype=np.int8)
+    idx[b_idx, slot3[b_idx, r_idx, n_idx], n_idx] = r_idx.astype(np.int8)
     return idx, tile_caps
 
 
@@ -67,8 +69,8 @@ class BlockedEllTCSC(TernaryFormat):
 
     ARRAY_FIELDS = ("idx_pos", "idx_neg", "tile_cap_pos", "tile_cap_neg")
 
-    idx_pos: np.ndarray       # (nb, CAP_p, N_pad) int32, local, sentinel -1
-    idx_neg: np.ndarray       # (nb, CAP_n, N_pad) int32
+    idx_pos: np.ndarray       # (nb, CAP_p, N_pad) int8, local, sentinel -1
+    idx_neg: np.ndarray       # (nb, CAP_n, N_pad) int8
     tile_cap_pos: np.ndarray  # (nb, num_tiles) int32
     tile_cap_neg: np.ndarray  # (nb, num_tiles) int32
     K: int
@@ -80,6 +82,10 @@ class BlockedEllTCSC(TernaryFormat):
     @classmethod
     def from_dense(cls, W: np.ndarray, block_k: int = 128, tile_n: int = 128,
                    cap_align: int = 8) -> "BlockedEllTCSC":
+        if not 0 < block_k <= 128:
+            raise ValueError(
+                f"block_k={block_k}: local offsets must fit int8 and one "
+                "128-lane vector register (the whole point of the layout)")
         W = _as_int8_dense(W)
         K, N = W.shape
         ip, cp = _blocked_planes(W, 1, block_k, tile_n, cap_align)
@@ -102,7 +108,7 @@ class BlockedEllTCSC(TernaryFormat):
             for plane, v in ((self.idx_pos, 1), (self.idx_neg, -1)):
                 rows_all = plane[b][:, :self.N]
                 slots, cols = np.nonzero(rows_all >= 0)
-                W[base + rows_all[slots, cols], cols] = v
+                W[base + rows_all[slots, cols].astype(np.int64), cols] = v
         return W
 
     def size_bytes(self) -> int:

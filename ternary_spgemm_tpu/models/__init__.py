@@ -13,6 +13,8 @@ from ternary_spgemm_tpu.models.bitlinear import (
     ternary_quantize,
     ternary_quantize_ste,
 )
+from ternary_spgemm_tpu.models.exported import ExportedBitLinear, ExportedMLP
+from ternary_spgemm_tpu.models.flax_module import FlaxBitLinear, FlaxTernaryMLP
 from ternary_spgemm_tpu.models.train import (
     make_sharded_train_step,
     make_train_step,
@@ -24,4 +26,5 @@ __all__ = [
     "BitLinear", "TernaryMLP", "apply_exported", "export_layer",
     "ternary_quantize", "ternary_quantize_ste",
     "make_train_step", "make_sharded_train_step", "mse_loss", "param_shardings",
+    "FlaxBitLinear", "FlaxTernaryMLP", "ExportedBitLinear", "ExportedMLP",
 ]

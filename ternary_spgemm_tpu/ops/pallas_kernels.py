@@ -298,8 +298,38 @@ def _dense_i8_kernel(a_ref, r_ref, w_ref, b_ref, al_ref, o_ref, acc_ref,
         o_ref[:] = _i8_epilogue(acc_ref[:], wsum_ref[:], b_ref, al_ref, has_alpha)
 
 
+def _dense_i8s_kernel(ar_ref, w_ref, b_ref, al_ref, o_ref, acc_ref,
+                      wsum_ref, *, tm: int, has_alpha: bool):
+    """Stacked variant: (a; r) concatenated along M -> ONE int8 dot per
+    K-step; the 8*hi + lo recombine happens once, in the epilogue."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    w = w_ref[:]
+    acc_ref[:] += jnp.dot(ar_ref[:], w, preferred_element_type=jnp.int32)
+    wsum_ref[:] += jnp.sum(w.astype(jnp.int32), axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        y = 8 * acc_ref[:tm, :] + acc_ref[tm:, :]
+        o_ref[:] = _i8_epilogue(y, wsum_ref[:], b_ref, al_ref, has_alpha)
+
+
+def _stack_tiles(a8, r8, TM):
+    """Interleave (a, r) per M-tile: rows [2i*TM, (2i+1)*TM) = a-tile i,
+    [(2i+1)*TM, (2i+2)*TM) = r-tile i — one contiguous (2TM, K) block per
+    grid row."""
+    gm = a8.shape[0] // TM
+    K = a8.shape[1]
+    return jnp.concatenate(
+        [a8.reshape(gm, TM, K), r8.reshape(gm, TM, K)], axis=1
+    ).reshape(gm * 2 * TM, K)
+
+
 def _dense_i8_fused(X, Wd, bias, alpha, *, tm: int = 256, tn: int = 1024,
-                    tk: int = 1024):
+                    tk: int = 1024, stacked: bool = True):
     M, K = X.shape
     N = Wd.shape[1]
     TM = min(round_up(M, 32), tm)   # int8 sublane tile = 32
@@ -312,23 +342,44 @@ def _dense_i8_fused(X, Wd, bias, alpha, *, tm: int = 256, tn: int = 1024,
     bp = _row_vec(bias, TN)
     ap = _row_vec(alpha if alpha is not None else np.zeros(N, np.float32), TN)
     grid = (a8.shape[0] // TM, Wp.shape[1] // TN, a8.shape[1] // TK)
-    out = pl.pallas_call(
-        functools.partial(_dense_i8_kernel, has_alpha=alpha is not None),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TM, TK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, TK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK, TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-        ],
+    common = dict(
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((a8.shape[0], Wp.shape[1]), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32),
-                        pltpu.VMEM((1, TN), jnp.int32)],
         interpret=_interpret(),
-    )(a8, r8, Wp, bp, ap)
+    )
+    w_spec = pl.BlockSpec((TK, TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM)
+    if stacked:
+        ar = _stack_tiles(a8, r8, TM)
+        out = pl.pallas_call(
+            functools.partial(_dense_i8s_kernel, tm=TM,
+                              has_alpha=alpha is not None),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((2 * TM, TK), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                w_spec, vec_spec, vec_spec,
+            ],
+            scratch_shapes=[pltpu.VMEM((2 * TM, TN), jnp.int32),
+                            pltpu.VMEM((1, TN), jnp.int32)],
+            **common,
+        )(ar, Wp, bp, ap)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_dense_i8_kernel, has_alpha=alpha is not None),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TM, TK), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TM, TK), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                w_spec, vec_spec, vec_spec,
+            ],
+            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32),
+                            pltpu.VMEM((1, TN), jnp.int32)],
+            **common,
+        )(a8, r8, Wp, bp, ap)
     return out[:M, :N]
 
 
@@ -445,14 +496,9 @@ def pallas_packed53_i8_kernel(X, fmt: PackedTernary53, bias, alpha=None, **tiles
 # ---------------------------------------------------------------------------
 
 
-def _blockpacked_i8_kernel(a_ref, r_ref, p_ref, b_ref, al_ref, o_ref,
-                           acc_ref, wsum_ref, *, factor: int, has_alpha: bool):
-    @pl.when(pl.program_id(2) == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        wsum_ref[:] = jnp.zeros_like(wsum_ref)
-
-    p = p_ref[:].astype(jnp.int32)
+def _decode_block(p, factor: int):
+    """Decode a packed int32 tile into the concatenated (factor*TKq, TN)
+    int8 weight tile (contiguous dense rows under block-local striding)."""
     ws = []
     q = p
     for j in range(factor):
@@ -464,7 +510,17 @@ def _blockpacked_i8_kernel(a_ref, r_ref, p_ref, b_ref, al_ref, o_ref,
         else:
             c = (p >> (2 * j)) & 3
             ws.append(((c & 1) - (c & 2)).astype(jnp.int8))
-    w_full = jnp.concatenate(ws, axis=0)     # (factor*TKq, TN) contiguous rows
+    return jnp.concatenate(ws, axis=0)
+
+
+def _blockpacked_i8_kernel(a_ref, r_ref, p_ref, b_ref, al_ref, o_ref,
+                           acc_ref, wsum_ref, *, factor: int, has_alpha: bool):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    w_full = _decode_block(p_ref[:].astype(jnp.int32), factor)
     acc_ref[:] += 8 * jnp.dot(a_ref[:], w_full, preferred_element_type=jnp.int32) \
         + jnp.dot(r_ref[:], w_full, preferred_element_type=jnp.int32)
     wsum_ref[:] += jnp.sum(w_full.astype(jnp.int32), axis=0, keepdims=True)
@@ -474,6 +530,25 @@ def _blockpacked_i8_kernel(a_ref, r_ref, p_ref, b_ref, al_ref, o_ref,
         o_ref[:] = _i8_epilogue(acc_ref[:], wsum_ref[:], b_ref, al_ref, has_alpha)
 
 
+def _blockpacked_i8s_kernel(ar_ref, p_ref, b_ref, al_ref, o_ref,
+                            acc_ref, wsum_ref, *, factor: int, tm: int,
+                            has_alpha: bool):
+    """Stacked (a; r) variant: one int8 dot per K-block (see _dense_i8s)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    w_full = _decode_block(p_ref[:].astype(jnp.int32), factor)
+    acc_ref[:] += jnp.dot(ar_ref[:], w_full, preferred_element_type=jnp.int32)
+    wsum_ref[:] += jnp.sum(w_full.astype(jnp.int32), axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        y = 8 * acc_ref[:tm, :] + acc_ref[tm:, :]
+        o_ref[:] = _i8_epilogue(y, wsum_ref[:], b_ref, al_ref, has_alpha)
+
+
 @register_kernel(
     "PallasBlockPacked_i8", BlockPackedTernary,
     description="block-local packed codes -> single int8 MXU dot per K-block "
@@ -481,7 +556,10 @@ def _blockpacked_i8_kernel(a_ref, r_ref, p_ref, b_ref, al_ref, o_ref,
     reference="readme.md:108-111 roadmap codec + BlockedTCSC.h cache-coupled "
               "blocking, fused epilogue comp_prelu.h:12-70")
 def pallas_blockpacked_i8_kernel(X, fmt: BlockPackedTernary, bias, alpha=None,
-                                 *, tm: int = 256, tn: int = 1024):
+                                 *, tm: int = 256, tn: int = 1024,
+                                 stacked: bool = False):
+    # measured at the north-star config: unstacked 8.4us vs stacked 10.8us
+    # at tile_kq=256 (the two-dot latency hides under the decode anyway)
     M = X.shape[0]
     N = fmt.N
     f, TKq = fmt.factor, fmt.tile_kq
@@ -496,24 +574,45 @@ def pallas_blockpacked_i8_kernel(X, fmt: BlockPackedTernary, bias, alpha=None,
     bp = _row_vec(bias, TN)
     ap = _row_vec(alpha if alpha is not None else np.zeros(N, np.float32), TN)
     grid = (a8.shape[0] // TM, Pp.shape[1] // TN, nb)
-    out = pl.pallas_call(
-        functools.partial(_blockpacked_i8_kernel, factor=f,
-                          has_alpha=alpha is not None),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TM, B), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, B), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TKq, TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-        ],
+    p_spec = pl.BlockSpec((TKq, TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM)
+    common = dict(
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((a8.shape[0], Pp.shape[1]), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32),
-                        pltpu.VMEM((1, TN), jnp.int32)],
         interpret=_interpret(),
-    )(a8, r8, Pp, bp, ap)
+    )
+    if stacked:
+        ar = _stack_tiles(a8, r8, TM)
+        out = pl.pallas_call(
+            functools.partial(_blockpacked_i8s_kernel, factor=f, tm=TM,
+                              has_alpha=alpha is not None),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((2 * TM, B), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                p_spec, vec_spec, vec_spec,
+            ],
+            scratch_shapes=[pltpu.VMEM((2 * TM, TN), jnp.int32),
+                            pltpu.VMEM((1, TN), jnp.int32)],
+            **common,
+        )(ar, Pp, bp, ap)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_blockpacked_i8_kernel, factor=f,
+                              has_alpha=alpha is not None),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TM, B), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TM, B), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                p_spec, vec_spec, vec_spec,
+            ],
+            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32),
+                            pltpu.VMEM((1, TN), jnp.int32)],
+            **common,
+        )(a8, r8, Pp, bp, ap)
     return out[:M, :N]
 
 
@@ -533,7 +632,8 @@ def _ell_kernel(x_ref, ip_ref, in_ref, b_ref, a_ref, o_ref, acc_ref, *,
     def plane(idx_ref, cap):
         acc = jnp.zeros((tm, tn), jnp.float32)
         for c in range(cap):
-            idx = idx_ref[0, c, :].reshape(1, tn)           # (1, TN) local offsets
+            # int8 local offsets (1 byte/slot in HBM), widened on the VPU
+            idx = idx_ref[0, c, :].reshape(1, tn).astype(jnp.int32)
             valid = idx >= 0
             safe = jnp.where(valid, idx, 0)
             g = jnp.take_along_axis(x, jnp.broadcast_to(safe, (tm, tn)), axis=1)

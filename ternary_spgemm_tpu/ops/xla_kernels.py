@@ -188,8 +188,8 @@ def blocked_ell_kernel(X, fmt: BlockedEllTCSC, bias, alpha=None):
         g = jax.vmap(lambda xb: xb[jnp.arange(nb)[:, None, None], safe])(Xb)
         return jnp.where(valid[None], g, 0.0).sum(axis=(1, 2))
 
-    pos = gather_plane(jnp.asarray(fmt.idx_pos))
-    neg = gather_plane(jnp.asarray(fmt.idx_neg))
+    pos = gather_plane(jnp.asarray(fmt.idx_pos, jnp.int32))
+    neg = gather_plane(jnp.asarray(fmt.idx_neg, jnp.int32))
     return finish((pos - neg)[:, :fmt.N], bias, alpha)
 
 

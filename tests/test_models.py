@@ -68,6 +68,117 @@ def test_export_matches_training_forward(fmt_cls):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_flax_module_matches_functional():
+    """FlaxBitLinear == BitLinear for identical parameters, and exports."""
+    from ternary_spgemm_tpu.models import FlaxBitLinear
+
+    mod = FlaxBitLinear(features=32, prelu=True)
+    x = jax.random.normal(jax.random.key(7), (4, 16))
+    variables = mod.init(jax.random.key(8), x)
+    p = variables["params"]
+    func = BitLinear(16, 32, prelu=True)
+    want = func.apply({"w": p["w"], "b": p["b"], "alpha": p["alpha"]}, x)
+    got = mod.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    fmt, gamma, b, alpha = export_layer(
+        {"w": p["w"], "b": p["b"], "alpha": p["alpha"]}, DenseTernary)
+    y = apply_exported(x, fmt, gamma, b, alpha)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_flax_mlp_trains():
+    import optax
+    from ternary_spgemm_tpu.models import FlaxTernaryMLP
+
+    mod = FlaxTernaryMLP(features=[32, 4])
+    x = jax.random.normal(jax.random.key(9), (64, 8))
+    y = jax.random.normal(jax.random.key(10), (64, 4))
+    variables = mod.init(jax.random.key(11), x)
+    opt = optax.adam(1e-2)
+    state = opt.init(variables["params"])
+
+    @jax.jit
+    def step(params, state):
+        loss, g = jax.value_and_grad(
+            lambda p: jnp.mean((mod.apply({"params": p}, x) - y) ** 2))(params)
+        upd, state = opt.update(g, state, params)
+        return optax.apply_updates(params, upd), state, loss
+
+    params = variables["params"]
+    first = None
+    for _ in range(20):
+        params, state, loss = step(params, state)
+        first = first if first is not None else float(loss)
+    assert float(loss) < first
+
+
+def test_exported_layer_custom_vjp():
+    """ExportedBitLinear: forward matches dense math; gradients match the
+    autodiff of the equivalent dense computation (both directions run on
+    registry kernels)."""
+    from ternary_spgemm_tpu.models import ExportedBitLinear
+
+    layer = BitLinear(48, 96, prelu=True)
+    params = layer.init(jax.random.key(12))
+    exp = ExportedBitLinear.from_params(params, DenseTernary)
+    x = jax.random.normal(jax.random.key(13), (8, 48))
+
+    # forward parity with the QAT forward
+    want = np.asarray(layer.apply(params, x))
+    got = np.asarray(exp(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # gradient parity vs dense autodiff
+    from ternary_spgemm_tpu.models.bitlinear import ternary_quantize
+    Wq, gamma = ternary_quantize(params["w"])
+    Wg = jnp.asarray(Wq) * gamma
+
+    def dense_loss(x, b, alpha):
+        y = x @ Wg + b
+        return jnp.sum(jnp.where(y > 0, y, alpha[None, :] * y) ** 2)
+
+    def exp_loss(x, b, alpha):
+        e = ExportedBitLinear(exp.fmt, exp.fmt_t, exp.gamma, b, alpha)
+        return jnp.sum(e(x) ** 2)
+
+    b, alpha = params["b"], params["alpha"]
+    for argnum in (0, 1, 2):
+        gw = jax.grad(dense_loss, argnums=argnum)(x, b, alpha)
+        gg = jax.grad(exp_loss, argnums=argnum)(x, b, alpha)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_exported_layer_no_alpha_grads():
+    from ternary_spgemm_tpu.models import ExportedBitLinear
+
+    W = np.asarray(jax.random.randint(jax.random.key(1), (32, 64), -1, 2),
+                   np.int8)
+    exp = ExportedBitLinear.from_dense(W, DenseTernary, gamma=0.5,
+                                       bias=np.ones(64, np.float32))
+    x = jax.random.normal(jax.random.key(2), (4, 32))
+    g = jax.grad(lambda x: jnp.sum(exp(x)))(x)
+    want = jnp.ones((4, 64)) @ (jnp.asarray(W, jnp.float32).T * 0.5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_exported_mlp_matches_training_forward():
+    from ternary_spgemm_tpu.models import ExportedMLP
+
+    model = TernaryMLP([16, 32, 8])
+    params = model.init(jax.random.key(20))
+    x = jax.random.normal(jax.random.key(21), (4, 16))
+    want = np.asarray(model.apply(params, x))
+    exp = ExportedMLP.from_params(model, params, DenseTernary)
+    got = np.asarray(exp(x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # differentiable end to end
+    g = jax.grad(lambda x: jnp.sum(exp(x) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_sharded_train_step_runs():
     mesh = make_mesh({"data": 2, "model": 4})
     model = TernaryMLP([16, 32, 16])

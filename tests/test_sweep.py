@@ -1,0 +1,60 @@
+"""Sweep-runner grid construction and JSON schema (no benchmarks run)."""
+
+import argparse
+import json
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+import sweep  # noqa: E402
+
+
+def _args(**kw):
+    defaults = dict(preset=None, varyonly=None, sparsityonly=False,
+                    m_values=None, kn=None, s_values=None)
+    defaults.update(kw)
+    return argparse.Namespace(**defaults)
+
+
+def test_canonical_grid_matches_reference():
+    grid = list(sweep.build_grid(_args()))
+    # 8 M x 8 (K,N) x 4 s (run_benchmark.py:13-24)
+    assert len(grid) == 8 * 8 * 4
+    assert (1, 512, 2048, 2) in grid
+    assert (64000, 16384, 4096, 16) in grid
+    # M varies innermost so the W cache hits across the M axis
+    k0 = [g for g in grid[:8]]
+    assert all(g[1:] == k0[0][1:] for g in k0)
+
+
+def test_varyonly_grid():
+    grid = list(sweep.build_grid(_args(varyonly="K", s_values=[4])))
+    assert all(m == 1024 and n == 1024 and s == 4 for m, _, n, s in grid)
+    assert [k for _, k, _, _ in grid] == sweep.VARY_DIM_VALUES
+
+
+def test_sparsityonly_grid():
+    grid = list(sweep.build_grid(_args(sparsityonly=True)))
+    assert grid == [(1024, 1024, 1024, s) for s in (2, 4, 8, 16)]
+
+
+def test_bitnet_preset():
+    grid = list(sweep.build_grid(_args(preset="bitnet")))
+    assert len(grid) == 2 * 4 * 3
+    assert (1, 4096, 4096, 2) in grid
+    assert (512, 11008, 11008, 16) in grid
+
+
+def test_sweep_cli_smoke(tmp_path):
+    out_path = str(tmp_path / "out.json")
+    out = subprocess.run(
+        [sys.executable, "tools/sweep.py", "--m-values", "4", "--kn", "32x64",
+         "--s-values", "4", "--kernels", "DenseMXU", "--platform", "cpu",
+         "--min-seconds", "0.01", "--output", out_path],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert "wrote 1 records" in out.stdout, out.stdout + out.stderr[-500:]
+    recs = json.load(open(out_path))
+    assert recs[0]["test_case"] == {"M": 4, "K": 32, "N": 64, "s": 4}
+    assert "DenseMXU" in recs[0]["results"]

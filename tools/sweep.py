@@ -33,7 +33,19 @@ VARY_DIM_VALUES = [256, 512, 1024, 2048, 4096, 8192]   # plots/run_benchmark.py:
 FIXED = 1024
 
 
+#: BASELINE.json config 4: "BitNet-style layer sweep: M in {1,32,512},
+#: K=N in {4096,11008}, s in {2,4,8,16} roofline study".
+BITNET_M = [1, 32, 512]
+BITNET_KN = [(4096, 4096), (11008, 11008)]
+
+
 def build_grid(args):
+    if args.preset == "bitnet":
+        for (k, n) in BITNET_KN:
+            for s in (args.s_values or CANONICAL_S):
+                for m in (args.m_values or BITNET_M):
+                    yield m, k, n, s
+        return
     if args.varyonly:
         d = args.varyonly
         for v in VARY_DIM_VALUES:
@@ -56,7 +68,9 @@ def build_grid(args):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--output", default="sweep_results.json")
+    p.add_argument("--preset", choices=["bitnet"], default=None)
     p.add_argument("--varyonly", choices=["M", "K", "N"], default=None)
+    p.add_argument("--prelu", action="store_true")
     p.add_argument("--sparsityonly", action="store_true")
     p.add_argument("--m-values", type=int, nargs="*", default=None)
     p.add_argument("--kn", type=lambda s: tuple(map(int, s.split("x"))),
@@ -86,7 +100,7 @@ def main(argv=None) -> int:
     t_start = time.time()
     for i, (m, k, n, s) in enumerate(grid):
         cfg = BenchConfig(M=m, K=k, N=n, s=s, kernels=kernels,
-                          correctness=args.correctness,
+                          correctness=args.correctness, prelu=args.prelu,
                           min_seconds=args.min_seconds)
         print(f"[{i+1}/{len(grid)}] M={m} K={k} N={n} s={s} "
               f"(elapsed {time.time()-t_start:.0f}s)", flush=True)
