@@ -56,6 +56,9 @@ def main(argv=None) -> int:
     p.add_argument("--json-out", default=None,
                    help="also write the full per-kernel records (reference "
                         "sweep schema) to this path")
+    p.add_argument("--measure-beta", action="store_true",
+                   help="measure achievable HBM bandwidth and use it as the "
+                        "roofline beta instead of the advertised number")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -72,7 +75,12 @@ def main(argv=None) -> int:
     cfg = BenchConfig(
         M=args.M, K=args.K, N=args.N, s=args.s, prelu=args.prelu,
         correctness=args.correctness, kernels=kernels)
-    results = run_config(cfg, verbose=args.verbose)
+    beta = None
+    if args.measure_beta:
+        from ternary_spgemm_tpu.bench import measure_hbm_bandwidth
+        beta = measure_hbm_bandwidth()
+        print(f"# measured HBM bandwidth: {beta / 1e9:.1f} GB/s")
+    results = run_config(cfg, verbose=args.verbose, bandwidth=beta)
     ok = [r for r in results if not r.error]
     if args.json_out:
         from ternary_spgemm_tpu.bench import dump_json

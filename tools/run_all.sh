@@ -1,0 +1,20 @@
+#!/bin/bash
+# End-to-end benchmark pipeline — the reference's plots/plots.sh analogue:
+# run the sweeps, then generate every plot. Runs on the default platform
+# (the TPU); pass a --limit through SWEEP_ARGS for smoke runs.
+set -e
+cd "$(dirname "$0")/.."
+OUT=${OUT:-bench_artifacts}
+mkdir -p "$OUT"
+
+python tools/sweep.py --preset bitnet ${SWEEP_ARGS} \
+  --kernels PallasBlockPacked_i8,PallasDense_i8,PallasDense_bf16,PallasDense \
+  --output "$OUT/bitnet_sweep.json"
+
+python tools/plot_perf.py "$OUT/bitnet_sweep.json" --output "$OUT/performance.png"
+python tools/plot_roofline.py "$OUT/bitnet_sweep.json" --output "$OUT/roofline.png"
+python tools/plot_speedup.py "$OUT/bitnet_sweep.json" --baseline PallasDense \
+  --output "$OUT/speedup.png"
+
+python bench.py --json-out "$OUT/headline.json"
+echo "artifacts in $OUT/"
