@@ -92,9 +92,10 @@ def main(argv=None) -> int:
         return 1
     from ternary_spgemm_tpu.ops import all_kernels
     registry = all_kernels()
-    exact = [r for r in ok if not registry[r.name].approximate]
     # Headline = best kernel that passes the reference's exact tolerance
-    # gate; the bf16 fast path is reported alongside.
+    # gate: statically exact AND, when --correctness ran, measured correct.
+    exact = [r for r in ok
+             if not registry[r.name].approximate and r.correct is not False]
     best = max(exact or ok, key=lambda r: r.gflops)
     best_any = max(ok, key=lambda r: r.gflops)
     print(json.dumps({

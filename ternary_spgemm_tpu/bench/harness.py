@@ -72,14 +72,15 @@ class BenchConfig:
     kernels: Optional[Sequence[str]] = None  # None = whole registry
 
 
-def _build_formats(W, kernels) -> Dict[type, object]:
-    cache: Dict[type, object] = {}
-    for spec in kernels.values():
-        if spec.format_cls not in cache:
-            cache[spec.format_cls] = spec.format_cls.from_dense(W)
-        # (default ctor args, like the driver's fixed BLOCK_SIZE/UNROLL_FACTOR,
-        # main.cpp:7-8; per-format tuning enters via kernel-level wrappers)
-    return cache
+def _get_format(cache: Dict[type, object], format_cls, W):
+    """Build (or reuse) one container per class, like the reference building
+    every format once per binary invocation (main.cpp:60-74). Default ctor
+    args play the role of the driver's fixed BLOCK_SIZE/UNROLL_FACTOR
+    (main.cpp:7-8). Raises on incompatible shapes — callers record the error
+    per kernel and keep sweeping."""
+    if format_cls not in cache:
+        cache[format_cls] = format_cls.from_dense(W)
+    return cache[format_cls]
 
 
 #: Weight cache across sweep configs that share (K, N, s, seed) — host-side
@@ -116,7 +117,7 @@ def run_config(cfg: BenchConfig, *, bandwidth: Optional[float] = None,
         X = jax.numpy.asarray(generate_x(cfg.M, cfg.K, seed=cfg.seed + 1))
     b = generate_bias(cfg.N)
     alpha = generate_alpha(cfg.N) if cfg.prelu else None
-    formats = _build_formats(W, registry)
+    formats: Dict[type, object] = {}
     want = None
     if cfg.correctness:
         want = np.asarray(
@@ -127,15 +128,22 @@ def run_config(cfg: BenchConfig, *, bandwidth: Optional[float] = None,
 
     results: List[KernelResult] = []
     for name, spec in registry.items():
-        fmt = formats[spec.format_cls]
-        inst = instrument(cfg.M, fmt, prelu=cfg.prelu)
+        inst = None
         try:
+            fmt = _get_format(formats, spec.format_cls, W)
+            inst = instrument(cfg.M, fmt, prelu=cfg.prelu)
             fn = lambda x, _spec=spec, _fmt=fmt: _spec.fn(x, _fmt, b, alpha)
             correct = max_err = None
             if want is not None:
                 got = np.asarray(jax.jit(fn)(X))
                 cmp = reference.compare_results(got, want)
-                correct, max_err = bool(cmp) or spec.approximate, cmp.max_abs_err
+                max_err = cmp.max_abs_err
+                if spec.approximate:
+                    # bf16 operands: per-term abs error <= |x|*2^-9 <= 1 over
+                    # ~K/s terms per output (same bound as tests/test_kernels).
+                    correct = max_err <= 4.0 * (cfg.K / cfg.s + 1)
+                else:
+                    correct = bool(cmp)
             t: TimingResult = timer(fn, X, min_seconds=cfg.min_seconds)
             results.append(KernelResult(
                 name=name, seconds=t.seconds, runs=t.runs, flops=inst.flops,
@@ -148,10 +156,11 @@ def run_config(cfg: BenchConfig, *, bandwidth: Optional[float] = None,
                 correct=correct, max_abs_err=max_err))
         except Exception as e:  # record, keep sweeping
             results.append(KernelResult(
-                name=name, seconds=float("nan"), runs=0, flops=inst.flops,
+                name=name, seconds=float("nan"), runs=0,
+                flops=inst.flops if inst else 0,
                 gflops=0.0, effective_gflops=0.0, nnz_per_s=0.0,
-                total_input_bytes=inst.total_input_bytes,
-                operational_intensity=inst.operational_intensity,
+                total_input_bytes=inst.total_input_bytes if inst else 0,
+                operational_intensity=inst.operational_intensity if inst else 0.0,
                 roofline_fraction=0.0, error=f"{type(e).__name__}: {e}"))
         if verbose:
             r = results[-1]

@@ -65,9 +65,12 @@ def _device_loop(fn: Callable) -> Callable:
         def body(carry):
             i, xc, s = carry
             y = fn(xc)
-            # s*1e-30 is far below half-ulp of every activation value, so xc
-            # is bit-identical each iteration — but XLA must still re-run fn.
-            return i + 1, xc + s * 1e-30, s + jnp.asarray(y, jnp.float32).ravel()[0]
+            # Multiplicative perturbation: 1 + s*1e-45 rounds to exactly 1.0f
+            # for any |s| < ~1e37, so xc is bit-identical every iteration
+            # (including zero entries, which an additive epsilon would
+            # corrupt) — but s is dynamic, so XLA must still re-run fn.
+            return (i + 1, xc * (1.0 + s * 1e-45),
+                    s + jnp.asarray(y, jnp.float32).ravel()[0])
 
         return jax.lax.while_loop(cond, body, (jnp.int32(0), x, jnp.float32(0.0)))[2]
 

@@ -72,9 +72,7 @@ def save_container(path: str, fmt: TernaryFormat, *, gamma: float = 1.0,
     pytree (class + K/N/tile metadata) without pickling code.
     """
     leaves, treedef = jax.tree_util.tree_flatten(fmt)
-    _, aux = fmt.__class__.__name__, None
-    # aux data is whatever the pytree flatten put aside; recover it from the
-    # registered dataclass fields not in ARRAY_FIELDS.
+    # static metadata = the registered dataclass fields not in ARRAY_FIELDS
     import dataclasses
     cls = type(fmt)
     static = {f.name: getattr(fmt, f.name) for f in dataclasses.fields(cls)

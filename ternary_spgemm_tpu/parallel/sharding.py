@@ -18,10 +18,11 @@ column-parallel at N=65536):
   either of the above on a 2-D mesh (``parallel/spgemm.py``).
 
 Only the *rectangular* physical containers shard: ``DenseTernary``,
-``PackedTernary2Bit``/``53`` (byte planes shard along N; row-parallel shards
-packed-K rows, which stays consistent because stride packing is per-column),
-and ``BlockedEllTCSC`` (planes shard along padded-N; row-parallel along the
-K-block axis, since local offsets never cross blocks). The 1-D stream
+``PackedTernary2Bit``/``53``/``BlockPackedTernary`` (byte planes shard along
+N; row-parallel only for the block-local ``BlockPackedTernary`` — see
+``row_leaf_specs``), and ``BlockedEllTCSC`` (planes shard along padded-N;
+row-parallel along the K-block axis, since local offsets never cross
+blocks). The 1-D stream
 formats (TCSC/TCSR/interleaved) have data-dependent per-column nnz, so
 equal-size static shards do not exist — shard their rectangular companions
 instead. That asymmetry is a TPU design fact (SPMD compilation needs static
@@ -91,11 +92,25 @@ def column_leaf_specs(format_cls: Type[TernaryFormat], axis: str):
 
 
 def row_leaf_specs(format_cls: Type[TernaryFormat], axis: str):
-    """PartitionSpecs (ARRAY_FIELDS order) sharding along contraction rows K."""
+    """PartitionSpecs (ARRAY_FIELDS order) sharding along contraction rows K.
+
+    The *globally* stride-packed planes (PackedTernary2Bit/53) are NOT
+    row-shardable: a contiguous chunk of packed rows encodes non-contiguous
+    dense rows (field j of packed row k' = dense row j*Kq + k'), so a
+    shard's bytes cannot pair with a contiguous X K-slice.
+    BlockPackedTernary is — its stride is local to ``factor*tile_kq``-row
+    blocks, so block-aligned shards decode contiguous dense rows (the shard
+    count must divide the block count).
+    """
     if format_cls is DenseTernary:
         return _leaf_specs(format_cls, axis, {"dense": (2, 0)})
-    if format_cls in (PackedTernary2Bit, PackedTernary53):
+    if format_cls is BlockPackedTernary:
         return _leaf_specs(format_cls, axis, {"packed": (2, 0)})
+    if format_cls in (PackedTernary2Bit, PackedTernary53):
+        raise TypeError(
+            f"{format_cls.__name__} is not row-shardable (global stride "
+            "packing interleaves dense rows across the whole plane); use "
+            "BlockPackedTernary for row parallelism")
     if format_cls is BlockedEllTCSC:
         return _leaf_specs(format_cls, axis, {
             "idx_pos": (3, 0), "idx_neg": (3, 0),

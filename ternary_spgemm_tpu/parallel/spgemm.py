@@ -42,7 +42,11 @@ from ternary_spgemm_tpu.parallel.sharding import (
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
-    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    # check_vma=False: pallas_call's out_shape carries no varying-manual-axes
+    # annotation, so jax 0.9's vma typing rejects Pallas kernels inside
+    # shard_map otherwise.
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
 
 
 def column_sharded_spgemm(X, fmt, bias, alpha=None, *, mesh: Mesh, axis: str,
@@ -85,6 +89,8 @@ def row_sharded_spgemm(X, fmt, bias, alpha=None, *, mesh: Mesh, axis: str,
     yspec = P(batch_axis, axis if scatter_output else None)
     bspec = P(axis) if scatter_output else P()
 
+    from ternary_spgemm_tpu.ops.api import finish
+
     def local(x, f, b, a):
         floc = localize(f)
         zero_b = jnp.zeros((floc.N,), jnp.float32)
@@ -93,10 +99,7 @@ def row_sharded_spgemm(X, fmt, bias, alpha=None, *, mesh: Mesh, axis: str,
             y = jax.lax.psum_scatter(y, axis, scatter_dimension=1, tiled=True)
         else:
             y = jax.lax.psum(y, axis)
-        y = y + b[None, :]
-        if a is not None:
-            y = jnp.where(y > 0, y, a[None, :] * y)
-        return y
+        return finish(y, b, a)
 
     if alpha is None:
         f2 = lambda x, f, b: local(x, f, b, None)
@@ -140,10 +143,13 @@ def overlapped_gather_spgemm(X, fmt, bias, alpha=None, *, mesh: Mesh, axis: str,
                 chunk, axis, [(i, (i + 1) % d) for i in range(d)])
             return chunk, y
 
-        # mark the accumulator as varying over the mesh axis (shard_map's
-        # varying-manual-axes typing: the loop carry must match the
-        # ppermute'd chunk's type)
-        y0 = jax.lax.pvary(jnp.zeros((d * m_chunk, n_local), jnp.float32), axis)
+        # mark the accumulator as varying over the mesh axis (the loop carry
+        # must type-match the ppermute'd chunk even with check_vma off)
+        y0 = jnp.zeros((d * m_chunk, n_local), jnp.float32)
+        if hasattr(jax.lax, "pcast"):
+            y0 = jax.lax.pcast(y0, axis, to="varying")
+        else:  # older spelling
+            y0 = jax.lax.pvary(y0, axis)
         _, y = jax.lax.fori_loop(0, d, step, (x_chunk, y0), unroll=True)
         return y
 

@@ -107,6 +107,27 @@ def test_overlapped_gather(problem, fmt_cls):
     assert reference.compare_results(got_p, want_p)
 
 
+def test_row_sharded_blockpacked(problem):
+    W, X, b, alpha, want, _ = problem
+    mesh = make_mesh({"model": 4})
+    # block-local stride: nb = K/(factor*tile_kq) = 128/32 = 4 blocks, one
+    # per shard — decodes contiguous dense rows per device
+    from ternary_spgemm_tpu.formats import BlockPackedTernary
+    fmt = BlockPackedTernary.from_dense(W, factor=4, tile_kq=8)
+    got = np.asarray(row_sharded_spgemm(X, fmt, b, mesh=mesh, axis="model"))
+    assert reference.compare_results(got, want)
+
+
+def test_row_sharded_global_packed_raises(problem):
+    """Globally stride-packed planes must refuse row sharding (a shard's
+    bytes encode non-contiguous dense rows — silently wrong otherwise)."""
+    W, X, b, *_ = problem
+    mesh = make_mesh({"model": 4})
+    fmt = PackedTernary53.from_dense(W)
+    with pytest.raises(TypeError, match="not row-shardable"):
+        row_sharded_spgemm(X, fmt, b, mesh=mesh, axis="model")
+
+
 def test_unshardable_format_raises(problem):
     W, X, b, *_ = problem
     mesh = make_mesh({"model": 4})

@@ -109,8 +109,8 @@ def main(argv=None) -> int:
         except Exception as e:  # record per-config failure, keep sweeping
             records.append({"test_case": {"M": m, "K": k, "N": n, "s": s},
                             "error": f"{type(e).__name__}: {e}"})
-            continue
-        records.append(to_reference_json(cfg, results))
+        else:
+            records.append(to_reference_json(cfg, results))
         with open(args.output, "w") as f:   # checkpoint after every config
             json.dump(records, f, indent=1)
     print(f"wrote {len(records)} records -> {args.output}")
@@ -118,5 +118,7 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, ".")
+    import os
+    # location-independent: the repo root hosts bench.py and the package
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sys.exit(main())
