@@ -109,7 +109,19 @@ def ternary_spgemm(X, fmt: TernaryFormat, bias, alpha=None, *,
                 f"kernel {kernel!r} expects {spec.format_cls.__name__}, "
                 f"got {type(fmt).__name__}")
         return spec.fn(X, fmt, bias, alpha)
-    for spec in _KERNEL_REGISTRY.values():
-        if isinstance(fmt, spec.format_cls):
-            return spec.fn(X, fmt, bias, alpha)
-    raise TypeError(f"no registered kernel for format {type(fmt).__name__}")
+    candidates = [s for s in _KERNEL_REGISTRY.values()
+                  if isinstance(fmt, s.format_cls) and not s.approximate
+                  and not s.name.endswith("_i8")]
+    # Default dispatch must be safe for ANY float input, so the _i8 kernels
+    # (exact only for integer activations; they round otherwise) are opt-in
+    # via kernel=. Among the fully-exact kernels, prefer Pallas on TPU and
+    # the XLA formulations elsewhere (Pallas would run interpreted).
+    if not candidates:
+        candidates = [s for s in _KERNEL_REGISTRY.values()
+                      if isinstance(fmt, s.format_cls) and not s.approximate]
+    if not candidates:
+        raise TypeError(f"no registered kernel for format {type(fmt).__name__}")
+    import jax
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    spec = min(candidates, key=lambda s: s.name.startswith("Pallas") != on_tpu)
+    return spec.fn(X, fmt, bias, alpha)

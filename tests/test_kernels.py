@@ -101,6 +101,27 @@ def test_north_star_shape_small_m(m):
         assert reference.compare_results(got, want), spec.name
 
 
+def test_default_dispatch_is_safe_and_exact():
+    """Default ternary_spgemm dispatch must avoid approximate and
+    integer-only (_i8) kernels when a fully-exact kernel exists, and still
+    work for formats whose only kernel is integer-only."""
+    from ternary_spgemm_tpu.formats import BlockPackedTernary
+    from ternary_spgemm_tpu.ops import ternary_spgemm
+
+    W = generate_ternary(64, 128, 4, seed=9)
+    b = generate_bias(128)
+    # non-integer activations: the default path must stay exact
+    X_float = generate_x(4, 64, seed=10) + 0.25
+    want = np.asarray(reference.dense_gemm(X_float, W, b))
+    got = np.asarray(ternary_spgemm(X_float, DenseTernary.from_dense(W), b))
+    assert reference.compare_results(got, want)
+    # BlockPacked's only kernel is _i8 -> integer activations required
+    X_int = generate_x(4, 64, seed=10)
+    want_i = np.asarray(reference.dense_gemm(X_int, W, b))
+    got_i = np.asarray(ternary_spgemm(X_int, BlockPackedTernary.from_dense(W), b))
+    assert reference.compare_results(got_i, want_i)
+
+
 def test_empty_column_and_row():
     """Columns/rows with no nonzeros must still produce bias-only outputs."""
     W = np.zeros((32, 64), np.int8)
