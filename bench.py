@@ -32,6 +32,7 @@ DEFAULT_KERNELS = [
     "PallasPacked2Bit", "PallasPacked2Bit_i8",
     "PallasPacked53", "PallasPacked53_i8",
     "PallasBlockPacked_i8",
+    "PallasTiledDense_i8", "PallasTiledBlockPacked_i8",
     "PallasEllGather", "DenseMXU", "DenseMXU_bf16",
 ]
 

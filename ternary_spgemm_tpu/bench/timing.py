@@ -69,8 +69,8 @@ def _device_loop(fn: Callable) -> Callable:
             # for any |s| < ~1e37, so xc is bit-identical every iteration
             # (including zero entries, which an additive epsilon would
             # corrupt) — but s is dynamic, so XLA must still re-run fn.
-            return (i + 1, xc * (1.0 + s * 1e-45),
-                    s + jnp.asarray(y, jnp.float32).ravel()[0])
+            xc = jnp.asarray(xc * (1.0 + s * 1e-45), xc.dtype)  # int x: exact
+            return i + 1, xc, s + jnp.asarray(y, jnp.float32).ravel()[0]
 
         return jax.lax.while_loop(cond, body, (jnp.int32(0), x, jnp.float32(0.0)))[2]
 

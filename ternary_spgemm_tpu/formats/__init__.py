@@ -21,13 +21,15 @@ from ternary_spgemm_tpu.formats.packed import (
     unpack_signs_base3,
 )
 from ternary_spgemm_tpu.formats.tcsc import TCSC, TCSR
+from ternary_spgemm_tpu.formats.tiled import TiledBlockPacked, TiledDenseTernary
 
 __all__ = [
     "TernaryFormat", "all_formats", "register_format",
     "TCSC", "TCSR", "BlockedTCSC", "BlockedEllTCSC", "InterleavedBlockedTCSC",
     "InterleavedTCSC",
     "EllTCSC", "PackedCSC", "PackedTernary2Bit", "PackedTernary53",
-    "BlockPackedTernary", "DenseTernary",
+    "BlockPackedTernary", "DenseTernary", "TiledBlockPacked",
+    "TiledDenseTernary",
     "pack_signs_base3", "unpack_signs_base3",
     "generate_ternary", "generate_x", "generate_bias", "generate_alpha",
 ]

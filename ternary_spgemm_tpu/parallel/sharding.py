@@ -43,12 +43,15 @@ from ternary_spgemm_tpu.formats import (
     DenseTernary,
     PackedTernary2Bit,
     PackedTernary53,
+    TiledBlockPacked,
+    TiledDenseTernary,
 )
 from ternary_spgemm_tpu.formats.base import TernaryFormat
 
 #: Formats with rectangular leaves, shardable under SPMD.
 SHARDABLE_FORMATS = (DenseTernary, PackedTernary2Bit, PackedTernary53,
-                     BlockPackedTernary, BlockedEllTCSC)
+                     BlockPackedTernary, BlockedEllTCSC,
+                     TiledDenseTernary, TiledBlockPacked)
 
 
 def make_mesh(shape: dict, *, devices=None) -> Mesh:
@@ -82,6 +85,8 @@ def column_leaf_specs(format_cls: Type[TernaryFormat], axis: str):
         return _leaf_specs(format_cls, axis, {"dense": (2, 1)})
     if format_cls in (PackedTernary2Bit, PackedTernary53, BlockPackedTernary):
         return _leaf_specs(format_cls, axis, {"packed": (2, 1)})
+    if format_cls in (TiledDenseTernary, TiledBlockPacked):
+        return _leaf_specs(format_cls, axis, {"tiles": (4, 1)})  # shard grid_n
     if format_cls is BlockedEllTCSC:
         return _leaf_specs(format_cls, axis, {
             "idx_pos": (3, 2), "idx_neg": (3, 2),
@@ -143,6 +148,17 @@ def localize(fmt: TernaryFormat) -> TernaryFormat:
         p = fmt.packed
         return cls(packed=p, K=min(fmt.K, p.shape[0] * fmt.factor),
                    N=p.shape[1], factor=fmt.factor, tile_kq=fmt.tile_kq)
+    if cls is TiledDenseTernary:
+        t = fmt.tiles
+        return cls(tiles=t, K=min(fmt.K, t.shape[0] * fmt.tile_k),
+                   N=t.shape[1] * fmt.tile_n, tile_k=fmt.tile_k,
+                   tile_n=fmt.tile_n)
+    if cls is TiledBlockPacked:
+        t = fmt.tiles
+        return cls(tiles=t,
+                   K=min(fmt.K, t.shape[0] * fmt.factor * fmt.tile_kq),
+                   N=t.shape[1] * fmt.tile_n, factor=fmt.factor,
+                   tile_kq=fmt.tile_kq, tile_n=fmt.tile_n)
     if cls is BlockedEllTCSC:
         ip = fmt.idx_pos
         return BlockedEllTCSC(

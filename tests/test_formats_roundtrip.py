@@ -28,8 +28,11 @@ from ternary_spgemm_tpu.formats import (
     unpack_signs_base3,
 )
 
+from ternary_spgemm_tpu.formats import TiledBlockPacked, TiledDenseTernary  # noqa: E402
+
 SIMPLE_FORMATS = [TCSC, TCSR, InterleavedTCSC, PackedCSC,
                   PackedTernary2Bit, PackedTernary53, BlockPackedTernary,
+                  TiledDenseTernary, TiledBlockPacked,
                   EllTCSC, BlockedEllTCSC, DenseTernary]
 BLOCKED_FORMATS = [BlockedTCSC, InterleavedBlockedTCSC]
 
