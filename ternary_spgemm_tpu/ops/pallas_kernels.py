@@ -671,6 +671,14 @@ def _tiled_call(kernel, a8, r8, tiles, bp, ap, *, TM, TK_eff, TN, scratch_rows):
     )(a8, r8, tiles, bp, ap)
 
 
+def _tiled_tm(M: int, TN: int) -> int:
+    """VMEM-aware M-tile: the i32 accumulator + f32 out tile cost TM*TN*8
+    bytes; cap them at ~3MB so weight double-buffering fits in 16MB VMEM.
+    Large M pays multiple weight passes — still >500GB/s per pass."""
+    cap = max(32, (3 * 1024 * 1024) // (TN * 8) // 32 * 32)
+    return min(round_up(M, 32), cap)
+
+
 @register_kernel(
     "PallasTiledDense_i8", TiledDenseTernary,
     description="tile-contiguous int8 plane -> int8-split MXU dots; streams "
@@ -682,7 +690,7 @@ def pallas_tiled_dense_i8_kernel(X, fmt: TiledDenseTernary, bias, alpha=None):
     M = X.shape[0]
     TK, TN = fmt.tile_k, fmt.tile_n
     gk = fmt.tiles.shape[0]
-    TM = min(round_up(M, 32), 256)
+    TM = _tiled_tm(M, TN)
     Mp = round_up(M, TM)
     a8, r8 = _int8_split(X)
     a8 = jnp.pad(a8, ((0, Mp - M), (0, gk * TK - X.shape[1])))
@@ -727,7 +735,7 @@ def pallas_tiled_blockpacked_i8_kernel(X, fmt: TiledBlockPacked, bias,
     TKq, TN, f = fmt.tile_kq, fmt.tile_n, fmt.factor
     B = f * TKq
     nb = fmt.num_blocks
-    TM = min(round_up(M, 32), 256)
+    TM = _tiled_tm(M, TN)
     Mp = round_up(M, TM)
     a8, r8 = _int8_split(X)
     a8 = jnp.pad(a8, ((0, Mp - M), (0, nb * B - X.shape[1])))
