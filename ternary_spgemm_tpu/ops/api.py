@@ -119,6 +119,14 @@ def ternary_spgemm(X, fmt: TernaryFormat, bias, alpha=None, *,
     if not candidates:
         candidates = [s for s in _KERNEL_REGISTRY.values()
                       if isinstance(fmt, s.format_cls) and not s.approximate]
+        if candidates:
+            import warnings
+            warnings.warn(
+                f"{type(fmt).__name__}'s only exact kernels are integer-"
+                "activation (_i8) paths: non-integer X is ROUNDED. Pass an "
+                "integer-valued X, or use a DenseTernary/PackedTernary* "
+                "container with a fully-exact f32 kernel.",
+                stacklevel=3)
     if not candidates:
         raise TypeError(f"no registered kernel for format {type(fmt).__name__}")
     import jax

@@ -116,6 +116,8 @@ def row_leaf_specs(format_cls: Type[TernaryFormat], axis: str):
             f"{format_cls.__name__} is not row-shardable (global stride "
             "packing interleaves dense rows across the whole plane); use "
             "BlockPackedTernary for row parallelism")
+    if format_cls in (TiledDenseTernary, TiledBlockPacked):
+        return _leaf_specs(format_cls, axis, {"tiles": (4, 0)})  # shard grid_k
     if format_cls is BlockedEllTCSC:
         return _leaf_specs(format_cls, axis, {
             "idx_pos": (3, 0), "idx_neg": (3, 0),

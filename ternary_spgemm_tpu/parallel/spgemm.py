@@ -41,6 +41,29 @@ from ternary_spgemm_tpu.parallel.sharding import (
 )
 
 
+def _check_tiled_alignment(fmt, dim: str):
+    """Tiled containers pad N (and K) to tile multiples; sharding along a
+    padded dimension only lines up with the true-N bias/X shards when the
+    dimension is an exact tile multiple — otherwise shard boundaries fall
+    inside tiles and results are silently wrong."""
+    from ternary_spgemm_tpu.formats import TiledBlockPacked, TiledDenseTernary
+
+    if not isinstance(fmt, (TiledDenseTernary, TiledBlockPacked)):
+        return
+    if dim == "N" and fmt.N % fmt.tile_n:
+        raise ValueError(
+            f"column-sharding a tiled container requires N % tile_n == 0 "
+            f"(N={fmt.N}, tile_n={fmt.tile_n}); rebuild with "
+            f"from_dense(..., tile_n=<128-multiple divisor of N>)")
+    if dim == "K":
+        blk = (fmt.tile_k if isinstance(fmt, TiledDenseTernary)
+               else fmt.factor * fmt.tile_kq)
+        if fmt.K % blk:
+            raise ValueError(
+                f"row-sharding a tiled container requires K % {blk} == 0 "
+                f"(K={fmt.K}); rebuild with a K-tile dividing K")
+
+
 def _shard_map(fn, mesh, in_specs, out_specs):
     # check_vma=False: pallas_call's out_shape carries no varying-manual-axes
     # annotation, so jax 0.9's vma typing rejects Pallas kernels inside
@@ -58,6 +81,7 @@ def column_sharded_spgemm(X, fmt, bias, alpha=None, *, mesh: Mesh, axis: str,
     sharded along ``axis``; X replicated over ``axis`` and optionally sharded
     along ``batch_axis``. Returns Y sharded (batch_axis, axis).
     """
+    _check_tiled_alignment(fmt, "N")
     fspec = spec_tree(fmt, column_leaf_specs(type(fmt), axis))
     xspec = P(batch_axis, None)
     yspec = P(batch_axis, axis)
@@ -84,6 +108,7 @@ def row_sharded_spgemm(X, fmt, bias, alpha=None, *, mesh: Mesh, axis: str,
     ``scatter_output`` the reduction is ``psum_scatter`` and Y comes back
     column-sharded along ``axis``.
     """
+    _check_tiled_alignment(fmt, "K")
     fspec = spec_tree(fmt, row_leaf_specs(type(fmt), axis))
     xspec = P(batch_axis, axis)
     yspec = P(batch_axis, axis if scatter_output else None)
@@ -121,6 +146,7 @@ def overlapped_gather_spgemm(X, fmt, bias, alpha=None, *, mesh: Mesh, axis: str,
     kernel (collective-matmul / "How to Scale Your Model" recipe).
     Returns Y sharded (None, axis).
     """
+    _check_tiled_alignment(fmt, "N")
     fspec = spec_tree(fmt, column_leaf_specs(type(fmt), axis))
     has_alpha = alpha is not None
 

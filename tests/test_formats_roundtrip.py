@@ -22,13 +22,13 @@ from ternary_spgemm_tpu.formats import (
     PackedCSC,
     PackedTernary2Bit,
     PackedTernary53,
+    TiledBlockPacked,
+    TiledDenseTernary,
     all_formats,
     generate_ternary,
     pack_signs_base3,
     unpack_signs_base3,
 )
-
-from ternary_spgemm_tpu.formats import TiledBlockPacked, TiledDenseTernary  # noqa: E402
 
 SIMPLE_FORMATS = [TCSC, TCSR, InterleavedTCSC, PackedCSC,
                   PackedTernary2Bit, PackedTernary53, BlockPackedTernary,

@@ -128,6 +128,44 @@ def test_row_sharded_global_packed_raises(problem):
         row_sharded_spgemm(X, fmt, b, mesh=mesh, axis="model")
 
 
+def test_tiled_column_sharded(problem):
+    from ternary_spgemm_tpu.formats import TiledDenseTernary
+
+    W, X, b, alpha, want, _ = problem
+    mesh = make_mesh({"model": 4})
+    # N=512, tile_n=128 -> gn=4, one tile-column per device, N % tile_n == 0
+    fmt = TiledDenseTernary.from_dense(W, tile_k=32, tile_n=128)
+    got = np.asarray(column_sharded_spgemm(X, fmt, b, mesh=mesh, axis="model"))
+    assert reference.compare_results(got, want)
+
+
+def test_tiled_row_sharded(problem):
+    from ternary_spgemm_tpu.formats import TiledBlockPacked, TiledDenseTernary
+
+    W, X, b, alpha, want, _ = problem
+    mesh = make_mesh({"model": 4})
+    # K=128, tile_k=32 -> gk=4 blocks, one per device
+    fmt = TiledDenseTernary.from_dense(W, tile_k=32, tile_n=128)
+    got = np.asarray(row_sharded_spgemm(X, fmt, b, mesh=mesh, axis="model"))
+    assert reference.compare_results(got, want)
+    fbp = TiledBlockPacked.from_dense(W, factor=4, tile_kq=8, tile_n=128)
+    got = np.asarray(row_sharded_spgemm(X, fbp, b, mesh=mesh, axis="model"))
+    assert reference.compare_results(got, want)
+
+
+def test_tiled_column_shard_misalignment_raises(problem):
+    """Sharding a tiled container along a padded dimension must refuse:
+    shard boundaries inside tiles silently corrupt results otherwise."""
+    from ternary_spgemm_tpu.formats import TiledDenseTernary
+
+    W, X, b, *_ = problem
+    mesh = make_mesh({"model": 2})
+    W_odd = W[:, :N - 128]                       # N=384, tile_n=256: padded
+    fmt = TiledDenseTernary.from_dense(W_odd, tile_k=32, tile_n=256)
+    with pytest.raises(ValueError, match="N % tile_n"):
+        column_sharded_spgemm(X, fmt, b[:N - 128], mesh=mesh, axis="model")
+
+
 def test_unshardable_format_raises(problem):
     W, X, b, *_ = problem
     mesh = make_mesh({"model": 4})

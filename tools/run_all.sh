@@ -8,7 +8,7 @@ OUT=${OUT:-bench_artifacts}
 mkdir -p "$OUT"
 
 python tools/sweep.py --preset bitnet ${SWEEP_ARGS} \
-  --kernels PallasBlockPacked_i8,PallasDense_i8,PallasDense_bf16,PallasDense \
+  --kernels PallasTiledDense_i8,PallasTiledBlockPacked_i8,PallasDense_bf16,PallasDense \
   --output "$OUT/bitnet_sweep.json"
 
 python tools/plot_perf.py "$OUT/bitnet_sweep.json" --output "$OUT/performance.png"
