@@ -14,9 +14,10 @@ TPU complications it never had, and how this module handles them:
 * **Dispatch + readback overhead** — a Python->device round trip costs
   O(ms..tens of ms) with high jitter, swamping a microsecond kernel. Two
   defenses: (a) the kernel runs inside an on-device ``lax.while_loop`` whose
-  carry forces a serial dependency between iterations (a ``+ s*1e-30``
-  perturbation that is a bit-exact no-op on the f32 values but opaque to
-  XLA), amortizing one dispatch over the whole run; (b) the per-iteration
+  carry forces a serial dependency between iterations (a multiplicative
+  ``* (1 + s*1e-45)`` perturbation that rounds to a bit-exact no-op on the
+  f32 values — including zeros, which an additive epsilon would corrupt —
+  but is opaque to XLA), amortizing one dispatch over the whole run; (b) the per-iteration
   time is the **slope** between a run of n and a run of n/2 iterations, so
   any fixed per-call overhead cancels exactly. The median of three slope
   measurements rejects jitter spikes.

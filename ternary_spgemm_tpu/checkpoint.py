@@ -49,14 +49,17 @@ def save_pytree(path: str, tree) -> None:
 
 def restore_pytree(path: str, like):
     """Restore a pytree saved by :func:`save_pytree`; ``like`` supplies the
-    tree structure (and shardings under orbax)."""
-    try:
+    tree structure (and shardings under orbax).
+
+    The restore path is chosen by what is *on disk* (``.npz`` file vs orbax
+    directory), not by orbax importability — so an npz checkpoint written in
+    a fallback environment restores fine where orbax exists, and vice versa.
+    """
+    p = path if path.endswith(".npz") else path + ".npz"
+    if not os.path.exists(p):
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(os.path.abspath(path), like)
-    except ModuleNotFoundError:
-        pass
-    p = path if path.endswith(".npz") else path + ".npz"
     data = np.load(p)
     leaves, treedef = jax.tree_util.tree_flatten(like)
     restored = [data[f"leaf_{i}"] for i in range(len(leaves))]
@@ -67,18 +70,21 @@ def save_container(path: str, fmt: TernaryFormat, *, gamma: float = 1.0,
                    bias=None, alpha=None) -> None:
     """Save an inference bundle: ternary container + scale + bias/alpha.
 
-    One ``.npz`` with the container's leaves plus a JSON header holding the
-    format class name and static aux data — enough to rebuild the exact
-    pytree (class + K/N/tile metadata) without pickling code.
+    One ``.npz`` with the container's arrays keyed *by field name* plus a
+    JSON header holding the format class name and static aux data — enough
+    to rebuild the exact pytree (class + K/N/tile metadata) without pickling
+    code. Field-name keys make the on-disk layout independent of pytree
+    flatten order, so a format whose ARRAY_FIELDS tuple is not in dataclass
+    declaration order round-trips correctly.
     """
-    leaves, treedef = jax.tree_util.tree_flatten(fmt)
     # static metadata = the registered dataclass fields not in ARRAY_FIELDS
     import dataclasses
     cls = type(fmt)
     static = {f.name: getattr(fmt, f.name) for f in dataclasses.fields(cls)
               if f.name not in cls.ARRAY_FIELDS}
     header = {"format": cls.__name__, "static": static, "gamma": float(gamma)}
-    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    arrays = {f"field_{name}": np.asarray(getattr(fmt, name))
+              for name in cls.ARRAY_FIELDS}
     if bias is not None:
         arrays["bias"] = np.asarray(bias)
     if alpha is not None:
@@ -94,9 +100,11 @@ def load_container(path: str):
     data = np.load(p)
     header = json.loads(bytes(data["header"]).decode())
     cls = all_formats()[header["format"]]
-    import dataclasses
-    array_fields = list(cls.ARRAY_FIELDS)
-    kwargs = {name: data[f"leaf_{i}"] for i, name in enumerate(array_fields)}
+    if f"field_{cls.ARRAY_FIELDS[0]}" in data:
+        kwargs = {name: data[f"field_{name}"] for name in cls.ARRAY_FIELDS}
+    else:  # legacy positional layout (round-1 bundles)
+        kwargs = {name: data[f"leaf_{i}"]
+                  for i, name in enumerate(cls.ARRAY_FIELDS)}
     kwargs.update(header["static"])
     fmt = cls(**kwargs)
     bias = data["bias"] if "bias" in data else None

@@ -12,7 +12,7 @@ So the TPU-native layout blocks K into ``block_k``-wide chunks (default 128 =
 one lane register when an X K-slice is laid out along lanes) and stores per
 (K-block, column) the *local* row offsets within the block:
 
-* ``idx_pos`` / ``idx_neg`` — ``(nb, CAP, N_pad)`` int32, local offsets in
+* ``idx_pos`` / ``idx_neg`` — ``(nb, CAP, N_pad)`` int8, local offsets in
   ``[0, block_k)``, padding sentinel ``-1``;
 * ``CAP`` is the max per-(block, column) count per sign over the whole matrix,
   rounded up to ``cap_align`` sublanes (static shape — mandatory for XLA);
@@ -25,10 +25,10 @@ The Pallas kernel (``ops/pallas_kernels.py``) then runs, per grid step
 float32 accumulator — the reference's gather loop (``comp.h:44-61``)
 vectorized over 128 output columns at once with zero branches.
 
-Local offsets fit in one byte (``block_k <= 256``), so the asymptotic HBM
-cost is 8 bits/nonzero = ``8/s`` bits per dense weight position; the int32
-planes here are the round-1 layout and ``size_bytes`` reports the honest
-1-byte figure the packed round-2 layout will ship.
+Local offsets fit in one byte (``block_k <= 128``), and the planes are
+physically int8, so the asymptotic HBM cost is 8 bits/nonzero = ``8/s`` bits
+per dense weight position — exactly what ``size_bytes`` accounts (per-tile
+honest capacities, not the global CAP).
 """
 
 from __future__ import annotations

@@ -41,27 +41,60 @@ from ternary_spgemm_tpu.parallel.sharding import (
 )
 
 
-def _check_tiled_alignment(fmt, dim: str):
-    """Tiled containers pad N (and K) to tile multiples; sharding along a
-    padded dimension only lines up with the true-N bias/X shards when the
-    dimension is an exact tile multiple — otherwise shard boundaries fall
-    inside tiles and results are silently wrong."""
-    from ternary_spgemm_tpu.formats import TiledBlockPacked, TiledDenseTernary
+def _check_tiled_alignment(fmt, dim: str, nshards: int = 1):
+    """Blocked/tiled containers pad N (and K) to tile multiples; sharding
+    along a padded dimension only lines up with the true-N bias/X shards when
+    the dimension is an exact tile multiple — otherwise shard boundaries fall
+    inside tiles (or a padded last K-block decodes dense rows beyond the
+    device's X column shard) and results are silently wrong."""
+    from ternary_spgemm_tpu.formats import (
+        BlockedEllTCSC, BlockPackedTernary, TiledBlockPacked,
+        TiledDenseTernary)
 
-    if not isinstance(fmt, (TiledDenseTernary, TiledBlockPacked)):
-        return
-    if dim == "N" and fmt.N % fmt.tile_n:
-        raise ValueError(
-            f"column-sharding a tiled container requires N % tile_n == 0 "
-            f"(N={fmt.N}, tile_n={fmt.tile_n}); rebuild with "
-            f"from_dense(..., tile_n=<128-multiple divisor of N>)")
-    if dim == "K":
-        blk = (fmt.tile_k if isinstance(fmt, TiledDenseTernary)
-               else fmt.factor * fmt.tile_kq)
-        if fmt.K % blk:
+    if isinstance(fmt, (TiledDenseTernary, TiledBlockPacked)):
+        if dim == "N" and fmt.N % fmt.tile_n:
             raise ValueError(
-                f"row-sharding a tiled container requires K % {blk} == 0 "
-                f"(K={fmt.K}); rebuild with a K-tile dividing K")
+                f"column-sharding a tiled container requires N % tile_n == 0 "
+                f"(N={fmt.N}, tile_n={fmt.tile_n}); rebuild with "
+                f"from_dense(..., tile_n=<128-multiple divisor of N>)")
+        if dim == "K":
+            blk = (fmt.tile_k if isinstance(fmt, TiledDenseTernary)
+                   else fmt.factor * fmt.tile_kq)
+            if fmt.K % blk:
+                raise ValueError(
+                    f"row-sharding a tiled container requires K % {blk} == 0 "
+                    f"(K={fmt.K}); rebuild with a K-tile dividing K")
+    elif isinstance(fmt, BlockPackedTernary):
+        # A padded last K-block makes per-shard packed rows decode dense rows
+        # beyond the device's X column shard (silently wrong partial sums).
+        blk = fmt.factor * fmt.tile_kq
+        if dim == "K":
+            if fmt.K % blk:
+                raise ValueError(
+                    f"row-sharding BlockPackedTernary requires K % (factor*"
+                    f"tile_kq) == 0 (K={fmt.K}, factor={fmt.factor}, "
+                    f"tile_kq={fmt.tile_kq}); rebuild with a block size "
+                    f"dividing K")
+            # The packed plane's dim-0 unit is a packed row (finer than a
+            # block), so the shard boundary must also land on a block edge.
+            nb = fmt.K // blk
+            if nb % nshards:
+                raise ValueError(
+                    f"row-sharding BlockPackedTernary over {nshards} devices "
+                    f"requires the device count to divide the block count "
+                    f"({nb} = K/(factor*tile_kq)); a shard boundary inside a "
+                    f"packed block decodes the wrong dense rows")
+    elif isinstance(fmt, BlockedEllTCSC):
+        if dim == "N" and fmt.N % fmt.tile_n:
+            raise ValueError(
+                f"column-sharding BlockedEllTCSC requires N % tile_n == 0 "
+                f"(N={fmt.N}, tile_n={fmt.tile_n}); rebuild with "
+                f"from_dense(..., tile_n=<divisor of N>)")
+        if dim == "K" and fmt.K % fmt.block_k:
+            raise ValueError(
+                f"row-sharding BlockedEllTCSC requires K % block_k == 0 "
+                f"(K={fmt.K}, block_k={fmt.block_k}); rebuild with "
+                f"from_dense(..., block_k=<divisor of K>)")
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -108,7 +141,7 @@ def row_sharded_spgemm(X, fmt, bias, alpha=None, *, mesh: Mesh, axis: str,
     ``scatter_output`` the reduction is ``psum_scatter`` and Y comes back
     column-sharded along ``axis``.
     """
-    _check_tiled_alignment(fmt, "K")
+    _check_tiled_alignment(fmt, "K", mesh.shape[axis])
     fspec = spec_tree(fmt, row_leaf_specs(type(fmt), axis))
     xspec = P(batch_axis, axis)
     yspec = P(batch_axis, axis if scatter_output else None)

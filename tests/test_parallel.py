@@ -166,6 +166,50 @@ def test_tiled_column_shard_misalignment_raises(problem):
         column_sharded_spgemm(X, fmt, b[:N - 128], mesh=mesh, axis="model")
 
 
+def test_blockpacked_row_shard_misalignment_raises(problem):
+    """ADVICE r1 (high): K % (factor*tile_kq) != 0 made per-shard packed rows
+    decode dense rows beyond the device's X column shard — silently wrong.
+    Must raise instead."""
+    from ternary_spgemm_tpu.formats import BlockPackedTernary
+
+    W, X, b, *_ = problem
+    mesh = make_mesh({"model": 2})
+    W_odd = W[:112]                  # K=112, factor*tile_kq=64: padded block
+    fmt = BlockPackedTernary.from_dense(W_odd, factor=4, tile_kq=16)
+    with pytest.raises(ValueError, match=r"K % \(factor"):
+        row_sharded_spgemm(X[:, :112], fmt, b, mesh=mesh, axis="model")
+
+
+def test_blockpacked_row_shard_block_split_raises(problem):
+    """Even with K an exact block multiple, the device count must divide the
+    block count — a shard boundary inside a packed block decodes the wrong
+    dense rows."""
+    from ternary_spgemm_tpu.formats import BlockPackedTernary
+
+    W, X, b, *_ = problem
+    mesh = make_mesh({"model": 4})
+    # K=128, factor=4, tile_kq=16 -> blk=64, nb=2 blocks, 4 shards: boundary
+    # would land mid-block.
+    fmt = BlockPackedTernary.from_dense(W, factor=4, tile_kq=16)
+    with pytest.raises(ValueError, match="divide the block count"):
+        row_sharded_spgemm(X, fmt, b, mesh=mesh, axis="model")
+
+
+def test_blocked_ell_shard_misalignment_raises(problem):
+    """ADVICE r1 (low): BlockedEllTCSC with unaligned dims must raise the
+    guided ValueError, not an opaque shape error deep in shard_map."""
+    W, X, b, *_ = problem
+    mesh = make_mesh({"model": 2})
+    W_odd = W[:, :N - 128]           # N=384, tile_n=256: padded tile
+    fmt = BlockedEllTCSC.from_dense(W_odd, tile_n=256)
+    with pytest.raises(ValueError, match="N % tile_n"):
+        column_sharded_spgemm(X, fmt, b[:N - 128], mesh=mesh, axis="model")
+    W_k = W[:112]                    # K=112, block_k=64: padded K-block
+    fmt_k = BlockedEllTCSC.from_dense(W_k, block_k=64)
+    with pytest.raises(ValueError, match="K % block_k"):
+        row_sharded_spgemm(X[:, :112], fmt_k, b, mesh=mesh, axis="model")
+
+
 def test_unshardable_format_raises(problem):
     W, X, b, *_ = problem
     mesh = make_mesh({"model": 4})
