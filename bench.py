@@ -33,7 +33,8 @@ DEFAULT_KERNELS = [
     "PallasPacked53", "PallasPacked53_i8",
     "PallasBlockPacked_i8",
     "PallasTiledDense_i8", "PallasTiledBlockPacked_i8",
-    "PallasEllGather", "DenseMXU", "DenseMXU_bf16",
+    "PallasTiledBitplane_i8",
+    "PallasEllGather", "PallasTiledEllGather", "DenseMXU", "DenseMXU_bf16",
 ]
 
 

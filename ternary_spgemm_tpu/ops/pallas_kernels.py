@@ -49,8 +49,10 @@ from ternary_spgemm_tpu.formats import (
     DenseTernary,
     PackedTernary2Bit,
     PackedTernary53,
+    TiledBitplane,
     TiledBlockPacked,
     TiledDenseTernary,
+    TiledEllTCSC,
 )
 from ternary_spgemm_tpu.ops.api import register_kernel
 from ternary_spgemm_tpu.utils import cdiv, round_up
@@ -500,7 +502,14 @@ def pallas_packed53_i8_kernel(X, fmt: PackedTernary53, bias, alpha=None, **tiles
 
 def _decode_block(p, factor: int):
     """Decode a packed int32 tile into the concatenated (factor*TKq, TN)
-    int8 weight tile (contiguous dense rows under block-local striding)."""
+    int8 weight tile (contiguous dense rows under block-local striding).
+
+    factor=4 (2-bit codes): per-field *arithmetic sign-extend* — shift the
+    2-bit field to bits 30-31, then shift arithmetically back down: codes
+    {0,1,3} land on {0,+1,-1} in 2 shifts + 1 narrowing per field (~3 VPU
+    ops/weight vs ~6 for the round-1 mask-and-map chain; measured 122.8 us
+    vs 231.9 us at M=32, K=N=11008).
+    """
     ws = []
     q = p
     for j in range(factor):
@@ -510,8 +519,7 @@ def _decode_block(p, factor: int):
             q = qn
             ws.append((d - 3 * (d >> 1)).astype(jnp.int8))
         else:
-            c = (p >> (2 * j)) & 3
-            ws.append(((c & 1) - (c & 2)).astype(jnp.int8))
+            ws.append(((p << (30 - 2 * j)) >> 30).astype(jnp.int8))
     return jnp.concatenate(ws, axis=0)
 
 
@@ -723,32 +731,204 @@ def _tiled_blockpacked_i8_kernel(a_ref, r_ref, p_ref, b_ref, al_ref, o_ref,
         o_ref[:] = _i8_epilogue(acc_ref[:], wsum_ref[:], b_ref, al_ref, has_alpha)
 
 
+def _tiled_blockpacked_i8s_kernel(ar_ref, p_ref, b_ref, al_ref, o_ref,
+                                  acc_ref, wsum_ref, *, factor: int, tm: int,
+                                  has_alpha: bool):
+    """Stacked (a; r) variant: ONE int8 dot per K-step (measured 109.3 us vs
+    122.8 us unstacked at M=32, K=N=11008 — the MXU weight-load is paid once
+    instead of twice)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    w = _decode_block(p_ref[0, 0].astype(jnp.int32), factor)
+    acc_ref[:] += jnp.dot(ar_ref[:], w, preferred_element_type=jnp.int32)
+    wsum_ref[:] += jnp.sum(w.astype(jnp.int32), axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        y = 8 * acc_ref[:tm, :] + acc_ref[tm:, :]
+        o_ref[:] = _i8_epilogue(y, wsum_ref[:], b_ref, al_ref, has_alpha)
+
+
 @register_kernel(
     "PallasTiledBlockPacked_i8", TiledBlockPacked,
     description="tile-contiguous block-local packed codes (2 or 1.6 bits/"
-                "weight) -> decode + int8-split MXU dots (exact for integer "
-                "activations |x|<=512); the large-shape flagship",
+                "weight) -> decode + stacked int8-split MXU dot (exact for "
+                "integer activations |x|<=512)",
     reference="readme.md:108-111 roadmap codec + HBM-resident buffer layout")
 def pallas_tiled_blockpacked_i8_kernel(X, fmt: TiledBlockPacked, bias,
-                                       alpha=None):
+                                       alpha=None, *, stacked: bool = True):
     M = X.shape[0]
     TKq, TN, f = fmt.tile_kq, fmt.tile_n, fmt.factor
     B = f * TKq
     nb = fmt.num_blocks
-    TM = _tiled_tm(M, TN)
-    Mp = round_up(M, TM)
-    a8, r8 = _int8_split(X)
-    a8 = jnp.pad(a8, ((0, Mp - M), (0, nb * B - X.shape[1])))
-    r8 = jnp.pad(r8, ((0, Mp - M), (0, nb * B - X.shape[1])))
     gn = fmt.tiles.shape[1]
     bp = _row_vec(bias, TN)[:, :gn * TN]
     ap = _row_vec(alpha if alpha is not None else np.zeros(fmt.N, np.float32),
                   TN)[:, :gn * TN]
-    out = _tiled_call(
-        functools.partial(_tiled_blockpacked_i8_kernel, factor=f,
+    if stacked:
+        # stacked acc (2TM, TN) i32 + out (TM, TN) f32 = TM*TN*12 bytes
+        TM = min(round_up(M, 32),
+                 max(32, (3 * 1024 * 1024) // (TN * 12) // 32 * 32))
+    else:
+        TM = _tiled_tm(M, TN)
+    Mp = round_up(M, TM)
+    a8, r8 = _int8_split(X)
+    a8 = jnp.pad(a8, ((0, Mp - M), (0, nb * B - X.shape[1])))
+    r8 = jnp.pad(r8, ((0, Mp - M), (0, nb * B - X.shape[1])))
+    if not stacked:
+        out = _tiled_call(
+            functools.partial(_tiled_blockpacked_i8_kernel, factor=f,
+                              has_alpha=alpha is not None),
+            a8, r8, jnp.asarray(fmt.tiles), bp, ap,
+            TM=TM, TK_eff=B, TN=TN, scratch_rows=TM)
+        return out[:M, :fmt.N]
+    ar = _stack_tiles(a8, r8, TM)
+    tiles = jnp.asarray(fmt.tiles)
+    out = pl.pallas_call(
+        functools.partial(_tiled_blockpacked_i8s_kernel, factor=f, tm=TM,
                           has_alpha=alpha is not None),
-        a8, r8, jnp.asarray(fmt.tiles), bp, ap,
-        TM=TM, TK_eff=B, TN=TN, scratch_rows=TM)
+        grid=(Mp // TM, gn, nb),
+        in_specs=[
+            pl.BlockSpec((2 * TM, B), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1) + tiles.shape[2:], lambda i, j, k: (k, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2 * TM, TN), jnp.int32),
+                        pltpu.VMEM((1, TN), jnp.int32)],
+        interpret=_interpret(),
+    )(ar, tiles, bp, ap)
+    return out[:M, :fmt.N]
+
+
+# ---------------------------------------------------------------------------
+# Bitplane deposit-decode kernel (PallasTiledBitplane_i8) — the round-2
+# flagship. 2 bits/weight in HBM; decode = magic-multiply bit deposit +
+# hardware bitcast with signs merged in-register (~2.75 VPU ops/weight);
+# int8-split activations stacked into ONE MXU operand -> one dot per K-step.
+# Measured (TPU v5e): 100.2 us at M=32, K=N=11008 vs 188.6 us for the 8-bit
+# dense tile; 5.4 us at the north-star vs 8.3 (see formats/bitplane.py).
+# ---------------------------------------------------------------------------
+
+_DEPOSIT_MUL = 0x00204081   # 1 + 2^7 + 2^14 + 2^21: bit j -> byte j, no carries
+_BYTE_LO = 0x01010101
+
+
+def _words_to_byte_rows(word):
+    """int32 (T, N) -> int8 (4T, N): row 4t+b = byte b (LSB first) of word[t].
+
+    On TPU this is a single register reinterpret (``pltpu.bitcast``; byte
+    order probed on v5e). Interpret mode reproduces the identical mapping
+    with ``lax.bitcast_convert_type`` (little-endian trailing byte dim).
+    """
+    T, N = word.shape
+    if _interpret():
+        b = jax.lax.bitcast_convert_type(word, jnp.int8)   # (T, N, 4)
+        return b.transpose(0, 2, 1).reshape(4 * T, N)
+    return pltpu.bitcast(word, jnp.int8)
+
+
+def _deposit_nibbles(b32):
+    """int32 byte values (T, N) -> two int32 word tiles whose bytes are bits
+    0-3 / 4-7 of each byte, as 0/1 bytes (no carries: the shifted copies of
+    the magic multiply never overlap within a 4-bit window)."""
+    lo = ((b32 & 0xF) * _DEPOSIT_MUL) & _BYTE_LO
+    hi = (((b32 >> 4) & 0xF) * _DEPOSIT_MUL) & _BYTE_LO
+    return lo, hi
+
+
+def _decode_bitplanes_merged(pp8, pn8):
+    """pos/neg uint8 bitplane rows (T, N) -> ternary int8 rows (8T, N).
+
+    Signs merge in-register: a neg bit deposits byte 0x01, scaled by 0xFF to
+    0xFF (= int8 -1; no cross-byte carry since each byte is 0 or 1) and OR'd
+    with the pos plane (pos/neg are disjoint by construction). One stacked
+    MXU dot then consumes the merged plane — measured 97.7 us vs 111.5 us
+    for the two-dot pos-minus-neg form at M=32, K=N=11008."""
+    plo, phi = _deposit_nibbles(pp8.astype(jnp.int32))
+    nlo, nhi = _deposit_nibbles(pn8.astype(jnp.int32))
+    wlo = plo | (nlo * 0xFF)
+    whi = phi | (nhi * 0xFF)
+    return jnp.concatenate(
+        [_words_to_byte_rows(wlo), _words_to_byte_rows(whi)], axis=0)
+
+
+def _tiled_bitplane_i8_kernel(ar_ref, p_ref, ws_ref, b_ref, al_ref, o_ref,
+                              acc_ref, wsum_ref, *, tkb: int, tm: int,
+                              has_alpha: bool):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    w = _decode_bitplanes_merged(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
+    acc_ref[:] += jnp.dot(ar_ref[:], w, preferred_element_type=jnp.int32)
+    wsum_ref[:] += ws_ref[0, 0]
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        y = 8 * acc_ref[:tm, :] + acc_ref[tm:, :]
+        o_ref[:] = _i8_epilogue(y, wsum_ref[:], b_ref, al_ref, has_alpha)
+
+
+@register_kernel(
+    "PallasTiledBitplane_i8", TiledBitplane,
+    description="split-sign bitplanes (2 bits/weight) -> magic-multiply bit "
+                "deposit + hardware bitcast decode with in-register sign "
+                "merge (~2.75 VPU ops/weight), ONE stacked int8-split MXU "
+                "dot per K-step; the flagship exact kernel (integer "
+                "activations |x|<=512)",
+    reference="readme.md:108-111 roadmap codec done TPU-first; epilogue "
+              "comp_prelu.h:12-70; activation domain perf.cpp:301")
+def pallas_tiled_bitplane_i8_kernel(X, fmt: TiledBitplane, bias, alpha=None,
+                                    *, tm: int = 256):
+    M = X.shape[0]
+    tkb, TN = fmt.tkb, fmt.tile_n
+    B = 8 * tkb
+    nb, gn = fmt.plane.shape[0], fmt.plane.shape[1]
+    # VMEM cap: stacked acc (2TM, TN) i32 + out (TM, TN) f32 = TM*TN*12 B
+    cap = max(32, (3 * 1024 * 1024) // (TN * 12) // 32 * 32)
+    TM = min(round_up(M, 32), tm, cap)
+    Mp = round_up(M, TM)
+    gm = Mp // TM
+    a8, r8 = _int8_split(X)
+    a8 = jnp.pad(a8, ((0, Mp - M), (0, nb * B - X.shape[1])))
+    r8 = jnp.pad(r8, ((0, Mp - M), (0, nb * B - X.shape[1])))
+    ar = _stack_tiles(a8, r8, TM)
+    bp = _row_vec(bias, TN)[:, :gn * TN]
+    ap = _row_vec(alpha if alpha is not None else np.zeros(fmt.N, np.float32),
+                  TN)[:, :gn * TN]
+    out = pl.pallas_call(
+        functools.partial(_tiled_bitplane_i8_kernel, tkb=tkb, tm=TM,
+                          has_alpha=alpha is not None),
+        grid=(gm, gn, nb),
+        in_specs=[
+            pl.BlockSpec((2 * TM, B), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * tkb, TN), lambda i, j, k: (k, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, TN), lambda i, j, k: (k, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2 * TM, TN), jnp.int32),
+                        pltpu.VMEM((1, TN), jnp.int32)],
+        interpret=_interpret(),
+    )(ar, jnp.asarray(fmt.plane), jnp.asarray(fmt.wsum), bp, ap)
     return out[:M, :fmt.N]
 
 
@@ -781,6 +961,105 @@ def _ell_kernel(x_ref, ip_ref, in_ref, b_ref, a_ref, o_ref, acc_ref, *,
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = _epilogue(acc_ref[:], b_ref, a_ref, has_alpha)
+
+
+def _tiled_ell_kernel(cp_ref, cn_ref, x_ref, pln_ref, b_ref, a_ref, o_ref,
+                      acc_ref, *, cap_p_max: int, tm: int, tn: int,
+                      has_alpha: bool):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]  # (TM, 128): lanes 0..126 = block rows, lane 127 = zero
+    # exact per-(block, tile) capacities, scalar-prefetched (full (nb, gn)
+    # tables live in SMEM; dynamic loop bounds per grid step)
+    cap_p = cp_ref[pl.program_id(2), pl.program_id(1)]
+    cap_n = cn_ref[pl.program_id(2), pl.program_id(1)]
+
+    def gather_slabs(base):
+        # Slot rows load in slabs of 8: Mosaic requires a dynamic sublane
+        # index it can prove 8-aligned, and base + 8*s is (the format rounds
+        # each sign section to 8 rows; rows past the exact cap hold the
+        # sentinel block_k, whose gather returns the zero lane — no mask,
+        # no clamp). Mosaic's lane gather needs idx tiles of exactly 128
+        # lanes (x's register width), so each TN-wide slot row gathers in
+        # 128-lane chunks.
+        def body(s, a):
+            slab = pln_ref[0, 0, pl.ds(base + 8 * s, 8), :].astype(jnp.int32)
+            for r in range(8):
+                row = slab[r:r + 1, :]
+                parts = [
+                    jnp.take_along_axis(
+                        x,
+                        jnp.broadcast_to(row[:, c * 128:(c + 1) * 128],
+                                         (tm, 128)),
+                        axis=1)
+                    for c in range(tn // 128)]
+                a = a + (parts[0] if len(parts) == 1
+                         else jnp.concatenate(parts, axis=1))
+            return a
+        return body
+
+    zero = jnp.zeros((tm, tn), jnp.float32)
+    pos = jax.lax.fori_loop(0, (cap_p + 7) // 8, gather_slabs(0), zero)
+    neg = jax.lax.fori_loop(0, (cap_n + 7) // 8, gather_slabs(cap_p_max), zero)
+    acc_ref[:] += pos - neg
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = _epilogue(acc_ref[:], b_ref, a_ref, has_alpha)
+
+
+@register_kernel(
+    "PallasTiledEllGather", TiledEllTCSC,
+    description="tile-contiguous split-sign ELL gather with exact per-tile "
+                "capacity loop bounds and a zero-lane sentinel (the round-2 "
+                "true sparse path)",
+    reference="cpp_impl/comp.h:44-61 (gather loop), VectorTCSC.h:5-73 with "
+              "the per-tile capacity scan done right; sentinel idea from "
+              "comp.h:1078 made sound")
+def pallas_tiled_ell_kernel(X, fmt: TiledEllTCSC, bias, alpha=None):
+    M = X.shape[0]
+    N, K = fmt.N, fmt.K
+    BK, TN = fmt.block_k, fmt.tile_n
+    LAN = BK + 1
+    nb, gn, CAPS, _ = fmt.plane.shape
+    TM = min(round_up(M, 8), 256)
+    Mp = round_up(M, TM)
+    # Restructure X: one reserved zero lane per K-block (see ell_tiled.py).
+    Xp = jnp.pad(jnp.asarray(X, jnp.float32),
+                 ((0, Mp - M), (0, nb * BK - K)))
+    Xp = jnp.pad(Xp.reshape(Mp, nb, BK), ((0, 0), (0, 0), (0, 1)))
+    Xp = Xp.reshape(Mp, nb * LAN)
+    bp = _row_vec(bias, TN)[:, :gn * TN]
+    ap = _row_vec(alpha if alpha is not None else np.zeros(N, np.float32),
+                  TN)[:, :gn * TN]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,    # cap tables -> SMEM, dynamically indexed
+        grid=(Mp // TM, gn, nb),
+        in_specs=[
+            pl.BlockSpec((TM, LAN), lambda i, j, b, *_: (i, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CAPS, TN), lambda i, j, b, *_: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, b, *_: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda i, j, b, *_: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, b, *_: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_tiled_ell_kernel, cap_p_max=fmt.cap_p_max,
+                          tm=TM, tn=TN, has_alpha=alpha is not None),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray(fmt.cap_pos), jnp.asarray(fmt.cap_neg), Xp,
+      jnp.asarray(fmt.plane), bp, ap)
+    return out[:M, :N]
 
 
 @register_kernel(

@@ -43,15 +43,18 @@ from ternary_spgemm_tpu.formats import (
     DenseTernary,
     PackedTernary2Bit,
     PackedTernary53,
+    TiledBitplane,
     TiledBlockPacked,
     TiledDenseTernary,
+    TiledEllTCSC,
 )
 from ternary_spgemm_tpu.formats.base import TernaryFormat
 
 #: Formats with rectangular leaves, shardable under SPMD.
 SHARDABLE_FORMATS = (DenseTernary, PackedTernary2Bit, PackedTernary53,
                      BlockPackedTernary, BlockedEllTCSC,
-                     TiledDenseTernary, TiledBlockPacked)
+                     TiledDenseTernary, TiledBlockPacked, TiledEllTCSC,
+                     TiledBitplane)
 
 
 def make_mesh(shape: dict, *, devices=None) -> Mesh:
@@ -91,6 +94,11 @@ def column_leaf_specs(format_cls: Type[TernaryFormat], axis: str):
         return _leaf_specs(format_cls, axis, {
             "idx_pos": (3, 2), "idx_neg": (3, 2),
             "tile_cap_pos": (2, 1), "tile_cap_neg": (2, 1)})
+    if format_cls is TiledEllTCSC:
+        return _leaf_specs(format_cls, axis, {
+            "plane": (4, 1), "cap_pos": (2, 1), "cap_neg": (2, 1)})
+    if format_cls is TiledBitplane:
+        return _leaf_specs(format_cls, axis, {"plane": (4, 1), "wsum": (4, 1)})
     raise TypeError(
         f"{format_cls.__name__} is not column-shardable (ragged 1-D streams); "
         "use one of " + ", ".join(c.__name__ for c in SHARDABLE_FORMATS))
@@ -122,6 +130,11 @@ def row_leaf_specs(format_cls: Type[TernaryFormat], axis: str):
         return _leaf_specs(format_cls, axis, {
             "idx_pos": (3, 0), "idx_neg": (3, 0),
             "tile_cap_pos": (2, 0), "tile_cap_neg": (2, 0)})
+    if format_cls is TiledEllTCSC:
+        return _leaf_specs(format_cls, axis, {
+            "plane": (4, 0), "cap_pos": (2, 0), "cap_neg": (2, 0)})
+    if format_cls is TiledBitplane:
+        return _leaf_specs(format_cls, axis, {"plane": (4, 0), "wsum": (4, 0)})
     raise TypeError(f"{format_cls.__name__} is not row-shardable")
 
 
@@ -168,6 +181,19 @@ def localize(fmt: TernaryFormat) -> TernaryFormat:
             tile_cap_pos=fmt.tile_cap_pos, tile_cap_neg=fmt.tile_cap_neg,
             K=min(fmt.K, ip.shape[0] * fmt.block_k), N=ip.shape[2],
             block_k=fmt.block_k, tile_n=fmt.tile_n, cap_align=fmt.cap_align)
+    if cls is TiledEllTCSC:
+        p = fmt.plane
+        return TiledEllTCSC(
+            plane=p, cap_pos=fmt.cap_pos, cap_neg=fmt.cap_neg,
+            K=min(fmt.K, p.shape[0] * fmt.block_k),
+            N=p.shape[1] * fmt.tile_n, block_k=fmt.block_k,
+            tile_n=fmt.tile_n, cap_p_max=fmt.cap_p_max)
+    if cls is TiledBitplane:
+        p = fmt.plane
+        return TiledBitplane(
+            plane=p, wsum=fmt.wsum,
+            K=min(fmt.K, p.shape[0] * 8 * fmt.tkb),
+            N=p.shape[1] * fmt.tile_n, tkb=fmt.tkb, tile_n=fmt.tile_n)
     raise TypeError(cls.__name__)
 
 

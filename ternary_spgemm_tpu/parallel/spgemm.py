@@ -49,7 +49,7 @@ def _check_tiled_alignment(fmt, dim: str, nshards: int = 1):
     device's X column shard) and results are silently wrong."""
     from ternary_spgemm_tpu.formats import (
         BlockedEllTCSC, BlockPackedTernary, TiledBlockPacked,
-        TiledDenseTernary)
+        TiledBitplane, TiledDenseTernary, TiledEllTCSC)
 
     if isinstance(fmt, (TiledDenseTernary, TiledBlockPacked)):
         if dim == "N" and fmt.N % fmt.tile_n:
@@ -84,6 +84,28 @@ def _check_tiled_alignment(fmt, dim: str, nshards: int = 1):
                     f"requires the device count to divide the block count "
                     f"({nb} = K/(factor*tile_kq)); a shard boundary inside a "
                     f"packed block decodes the wrong dense rows")
+    elif isinstance(fmt, TiledBitplane):
+        if dim == "N" and fmt.N % fmt.tile_n:
+            raise ValueError(
+                f"column-sharding TiledBitplane requires N % tile_n == 0 "
+                f"(N={fmt.N}, tile_n={fmt.tile_n}); rebuild with "
+                f"from_dense(..., tile_n=<128-multiple divisor of N>)")
+        if dim == "K" and fmt.K % (8 * fmt.tkb):
+            raise ValueError(
+                f"row-sharding TiledBitplane requires K % (8*tkb) == 0 "
+                f"(K={fmt.K}, tkb={fmt.tkb}); rebuild with a block "
+                f"dividing K")
+    elif isinstance(fmt, TiledEllTCSC):
+        if dim == "N" and fmt.N % fmt.tile_n:
+            raise ValueError(
+                f"column-sharding TiledEllTCSC requires N % tile_n == 0 "
+                f"(N={fmt.N}, tile_n={fmt.tile_n}); rebuild with "
+                f"from_dense(..., tile_n=<divisor of N>)")
+        if dim == "K" and fmt.K % fmt.block_k:
+            raise ValueError(
+                f"row-sharding TiledEllTCSC requires K % block_k == 0 "
+                f"(K={fmt.K}, block_k={fmt.block_k}); rebuild with "
+                f"from_dense(..., block_k=<divisor of K, <=127>)")
     elif isinstance(fmt, BlockedEllTCSC):
         if dim == "N" and fmt.N % fmt.tile_n:
             raise ValueError(

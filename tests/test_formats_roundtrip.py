@@ -22,8 +22,10 @@ from ternary_spgemm_tpu.formats import (
     PackedCSC,
     PackedTernary2Bit,
     PackedTernary53,
+    TiledBitplane,
     TiledBlockPacked,
     TiledDenseTernary,
+    TiledEllTCSC,
     all_formats,
     generate_ternary,
     pack_signs_base3,
@@ -33,7 +35,8 @@ from ternary_spgemm_tpu.formats import (
 SIMPLE_FORMATS = [TCSC, TCSR, InterleavedTCSC, PackedCSC,
                   PackedTernary2Bit, PackedTernary53, BlockPackedTernary,
                   TiledDenseTernary, TiledBlockPacked,
-                  EllTCSC, BlockedEllTCSC, DenseTernary]
+                  EllTCSC, BlockedEllTCSC, TiledEllTCSC, TiledBitplane,
+                  DenseTernary]
 BLOCKED_FORMATS = [BlockedTCSC, InterleavedBlockedTCSC]
 
 
@@ -125,7 +128,8 @@ def test_format_registry_has_all():
     assert {"TCSC", "TCSR", "BlockedTCSC", "BlockedEllTCSC",
             "InterleavedTCSC", "InterleavedBlockedTCSC", "EllTCSC",
             "PackedCSC", "PackedTernary2Bit", "PackedTernary53",
-            "BlockPackedTernary", "DenseTernary"} <= names
+            "BlockPackedTernary", "DenseTernary", "TiledEllTCSC",
+            "TiledBitplane"} <= names
 
 
 def test_formats_are_pytrees():

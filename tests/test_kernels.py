@@ -23,6 +23,8 @@ from ternary_spgemm_tpu.formats import (
     PackedTernary53,
     TCSC,
     TCSR,
+    TiledBitplane,
+    TiledEllTCSC,
     generate_alpha,
     generate_bias,
     generate_ternary,
@@ -41,6 +43,8 @@ _FMT_KWARGS = {
     InterleavedBlockedTCSC: dict(block_size=32, group=2),
     BlockedEllTCSC: dict(block_k=32, tile_n=128),
     EllTCSC: dict(tile_n=128),
+    TiledEllTCSC: dict(block_k=31, tile_n=128),
+    TiledBitplane: dict(tkb=4, tile_n=128),
 }
 
 

@@ -26,6 +26,12 @@ OPTION_SETS = [
     ("aggressive_fusion", {"XLA_FLAGS": "--xla_tpu_rwb_fusion=true"}),
     ("async_collectives", {"XLA_FLAGS": "--xla_tpu_enable_async_collective_fusion=true"}),
     ("latency_hiding", {"XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"}),
+    # Mosaic/Pallas-side knobs (the kernels here are all Pallas): scoped-VMEM
+    # headroom shifts the double-buffering budget Mosaic gives pallas_call.
+    ("scoped_vmem_64m", {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=65536"}),
+    ("scoped_vmem_16m", {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=16384"}),
+    ("no_latency_hiding",
+     {"XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=false"}),
 ]
 
 

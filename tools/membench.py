@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""HBM streaming microbenchmark — the cache-testsuite analogue.
+
+The reference isolates kernel memory behavior with a DynamoRIO drcachesim
+pipeline (``cache-testsuite-linux-aarch64/scripts/compile-measure.sh:52-76``,
+``sub_cache_res.py`` subtracts a no-compute base binary). On TPU the
+equivalent question is "what HBM read bandwidth does a tile-streaming DMA
+pattern actually achieve, as a function of array size, tile shape, and
+layout?" — this tool measures exactly that with a Pallas kernel that DMAs
+every tile of an array but touches only an (8, 128) corner per tile (the
+DMA is issued for the full block regardless, so the measured rate is pure
+pipeline DMA; the per-tile VPU cost is ~1% of the DMA time).
+
+Emits one JSON line per config:
+    {"mb": ..., "tile": [tk, tn], "layout": "tiled4d|rowmajor",
+     "seconds": ..., "gbps": ...}
+
+Usage (on the TPU):
+    python tools/membench.py [--out bench_artifacts/membench.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ternary_spgemm_tpu.bench.timing import time_device_loop
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _stream_kernel_4d(t_ref, o_ref):
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+    o_ref[:] += t_ref[0, 0, :8, :128].astype(jnp.int32)
+
+
+def _stream_kernel_2d(t_ref, o_ref):
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+    o_ref[:] += t_ref[:8, :128].astype(jnp.int32)
+
+
+def stream_rate(arr_bytes: int, tk: int, tn: int, layout: str):
+    """Time a full streaming pass over an int8 array of ~arr_bytes."""
+    ntiles = max(1, arr_bytes // (tk * tn))
+    gk = max(1, int(np.sqrt(ntiles)))
+    gn = max(1, ntiles // gk)
+    nbytes = gk * gn * tk * tn
+    if layout == "tiled4d":
+        arr = jnp.zeros((gk, gn, tk, tn), jnp.int8)
+        spec = pl.BlockSpec((1, 1, tk, tn), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+        kern = _stream_kernel_4d
+    else:
+        arr = jnp.zeros((gk * tk, gn * tn), jnp.int8)
+        spec = pl.BlockSpec((tk, tn), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+        kern = _stream_kernel_2d
+
+    def run(a):
+        return pl.pallas_call(
+            kern,
+            grid=(gk, gn),
+            in_specs=[spec],
+            out_specs=pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+            interpret=_interpret(),
+        )(a)
+
+    t = time_device_loop(run, arr)
+    return {"mb": nbytes / 2**20, "tile": [tk, tn], "layout": layout,
+            "grid": [gk, gn], "seconds": t.seconds,
+            "gbps": nbytes / t.seconds / 1e9}
+
+
+DEFAULT_SIZES_MB = [16, 32, 64, 121, 160, 256, 384, 512]
+DEFAULT_TILES = [(256, 4096), (512, 4096), (256, 8192), (1024, 4096)]
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes-mb", default=",".join(map(str, DEFAULT_SIZES_MB)))
+    p.add_argument("--tiles", default=";".join(f"{a},{b}" for a, b in DEFAULT_TILES))
+    p.add_argument("--layouts", default="tiled4d,rowmajor")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    _ = np.array(jax.device_put(np.zeros(8, np.float32)))  # readback warmup
+    sizes = [int(float(s) * 2**20) for s in args.sizes_mb.split(",")]
+    tiles = [tuple(map(int, t.split(","))) for t in args.tiles.split(";")]
+    layouts = args.layouts.split(",")
+
+    records = []
+    for layout in layouts:
+        for (tk, tn) in tiles:
+            for sz in sizes:
+                try:
+                    rec = stream_rate(sz, tk, tn, layout)
+                except Exception as e:  # record, keep sweeping (harness norm)
+                    rec = {"mb": sz / 2**20, "tile": [tk, tn],
+                           "layout": layout, "error": repr(e)}
+                print(json.dumps(rec), flush=True)
+                records.append(rec)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(records, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
