@@ -65,6 +65,25 @@ def build_grid(args):
         yield m, k, n, s
 
 
+#: Device-memory feasibility guards, checked BEFORE dispatch so an infeasible
+#: config is a *documented skip* in the artifact instead of a tunnel-killing
+#: device OOM. The XLA segment-sum formulations materialize the gathered
+#: (M, nnz) stream (nnz ~ 2*K*N/s), so their footprint grows with every
+#: dimension at once; the Pallas tiled kernels stream O(M*K + K*N/4 + M*N).
+_GATHER_KERNELS = ("BaseTCSC", "BaseTCSR", "BlockedTCSC", "InterleavedTCSC",
+                   "InterleavedBlockedTCSC", "EllTCSC", "PackedCSC")
+_GATHER_BUDGET_FLOATS = 6e8   # ~2.4 GB for the dominant (M, nnz) intermediate
+
+
+def skip_reason(kernel: str, m: int, k: int, n: int, s: int):
+    """Return a human-readable skip reason, or None if feasible."""
+    if kernel in _GATHER_KERNELS and m * (2 * k * n // s) > _GATHER_BUDGET_FLOATS:
+        return (f"skipped: gather formulation materializes the (M, nnz) "
+                f"stream = {m * (2 * k * n // s) * 4 / 1e9:.1f} GB "
+                f"(> {_GATHER_BUDGET_FLOATS * 4 / 1e9:.1f} GB device budget)")
+    return None
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--output", default="sweep_results.json")
@@ -99,7 +118,9 @@ def main(argv=None) -> int:
         grid = grid[:args.limit]
     t_start = time.time()
     for i, (m, k, n, s) in enumerate(grid):
-        cfg = BenchConfig(M=m, K=k, N=n, s=s, kernels=kernels,
+        skips = {kn: skip_reason(kn, m, k, n, s) for kn in kernels}
+        run_kernels = [kn for kn in kernels if skips[kn] is None]
+        cfg = BenchConfig(M=m, K=k, N=n, s=s, kernels=run_kernels,
                           correctness=args.correctness, prelu=args.prelu,
                           min_seconds=args.min_seconds)
         print(f"[{i+1}/{len(grid)}] M={m} K={k} N={n} s={s} "
@@ -110,7 +131,11 @@ def main(argv=None) -> int:
             records.append({"test_case": {"M": m, "K": k, "N": n, "s": s},
                             "error": f"{type(e).__name__}: {e}"})
         else:
-            records.append(to_reference_json(cfg, results))
+            rec = to_reference_json(cfg, results)
+            for kn, why in skips.items():
+                if why is not None:
+                    rec["results"][kn] = {"error": why}
+            records.append(rec)
         with open(args.output, "w") as f:   # checkpoint after every config
             json.dump(records, f, indent=1)
     print(f"wrote {len(records)} records -> {args.output}")
