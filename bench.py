@@ -33,7 +33,7 @@ DEFAULT_KERNELS = [
     "PallasPacked53", "PallasPacked53_i8",
     "PallasBlockPacked_i8",
     "PallasTiledDense_i8", "PallasTiledBlockPacked_i8",
-    "PallasTiledBitplane_i8",
+    "PallasTiledBitplane_i8", "PallasEllDeposit_i8",
     "PallasEllGather", "PallasTiledEllGather", "DenseMXU", "DenseMXU_bf16",
 ]
 

@@ -5,6 +5,7 @@ from ternary_spgemm_tpu.formats.bitplane import TiledBitplane, bitplane_rowmap
 from ternary_spgemm_tpu.formats.blocked import BlockedTCSC, InterleavedBlockedTCSC
 from ternary_spgemm_tpu.formats.blocked_ell import BlockedEllTCSC
 from ternary_spgemm_tpu.formats.ell import EllTCSC
+from ternary_spgemm_tpu.formats.ell_deposit import TiledEllDeposit, deposit_rowmap
 from ternary_spgemm_tpu.formats.ell_tiled import TiledEllTCSC
 from ternary_spgemm_tpu.formats.generate import (
     generate_alpha,
@@ -32,6 +33,7 @@ __all__ = [
     "EllTCSC", "PackedCSC", "PackedTernary2Bit", "PackedTernary53",
     "BlockPackedTernary", "DenseTernary", "TiledBlockPacked",
     "TiledDenseTernary", "TiledEllTCSC", "TiledBitplane", "bitplane_rowmap",
+    "TiledEllDeposit", "deposit_rowmap",
     "pack_signs_base3", "unpack_signs_base3",
     "generate_ternary", "generate_x", "generate_bias", "generate_alpha",
 ]

@@ -46,6 +46,7 @@ from ternary_spgemm_tpu.formats import (
     TiledBitplane,
     TiledBlockPacked,
     TiledDenseTernary,
+    TiledEllDeposit,
     TiledEllTCSC,
 )
 from ternary_spgemm_tpu.formats.base import TernaryFormat
@@ -54,7 +55,7 @@ from ternary_spgemm_tpu.formats.base import TernaryFormat
 SHARDABLE_FORMATS = (DenseTernary, PackedTernary2Bit, PackedTernary53,
                      BlockPackedTernary, BlockedEllTCSC,
                      TiledDenseTernary, TiledBlockPacked, TiledEllTCSC,
-                     TiledBitplane)
+                     TiledBitplane, TiledEllDeposit)
 
 
 def make_mesh(shape: dict, *, devices=None) -> Mesh:
@@ -99,6 +100,10 @@ def column_leaf_specs(format_cls: Type[TernaryFormat], axis: str):
             "plane": (4, 1), "cap_pos": (2, 1), "cap_neg": (2, 1)})
     if format_cls is TiledBitplane:
         return _leaf_specs(format_cls, axis, {"plane": (4, 1), "wsum": (4, 1)})
+    if format_cls is TiledEllDeposit:
+        return _leaf_specs(format_cls, axis, {
+            "plane": (4, 1), "cap_pos": (2, 1), "cap_neg": (2, 1),
+            "wsum": (4, 1)})
     raise TypeError(
         f"{format_cls.__name__} is not column-shardable (ragged 1-D streams); "
         "use one of " + ", ".join(c.__name__ for c in SHARDABLE_FORMATS))
@@ -135,6 +140,10 @@ def row_leaf_specs(format_cls: Type[TernaryFormat], axis: str):
             "plane": (4, 0), "cap_pos": (2, 0), "cap_neg": (2, 0)})
     if format_cls is TiledBitplane:
         return _leaf_specs(format_cls, axis, {"plane": (4, 0), "wsum": (4, 0)})
+    if format_cls is TiledEllDeposit:
+        return _leaf_specs(format_cls, axis, {
+            "plane": (4, 0), "cap_pos": (2, 0), "cap_neg": (2, 0),
+            "wsum": (4, 0)})
     raise TypeError(f"{format_cls.__name__} is not row-shardable")
 
 
@@ -194,6 +203,14 @@ def localize(fmt: TernaryFormat) -> TernaryFormat:
             plane=p, wsum=fmt.wsum,
             K=min(fmt.K, p.shape[0] * 8 * fmt.tkb),
             N=p.shape[1] * fmt.tile_n, tkb=fmt.tkb, tile_n=fmt.tile_n)
+    if cls is TiledEllDeposit:
+        from ternary_spgemm_tpu.formats.ell_deposit import SB_ROWS
+        p = fmt.plane
+        return TiledEllDeposit(
+            plane=p, cap_pos=fmt.cap_pos, cap_neg=fmt.cap_neg,
+            wsum=fmt.wsum, K=min(fmt.K, p.shape[0] * SB_ROWS),
+            N=p.shape[1] * fmt.tile_n, tile_n=fmt.tile_n,
+            cap_p_max=fmt.cap_p_max)
     raise TypeError(cls.__name__)
 
 

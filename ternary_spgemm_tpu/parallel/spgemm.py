@@ -49,7 +49,7 @@ def _check_tiled_alignment(fmt, dim: str, nshards: int = 1):
     device's X column shard) and results are silently wrong."""
     from ternary_spgemm_tpu.formats import (
         BlockedEllTCSC, BlockPackedTernary, TiledBlockPacked,
-        TiledBitplane, TiledDenseTernary, TiledEllTCSC)
+        TiledBitplane, TiledDenseTernary, TiledEllDeposit, TiledEllTCSC)
 
     if isinstance(fmt, (TiledDenseTernary, TiledBlockPacked)):
         if dim == "N" and fmt.N % fmt.tile_n:
@@ -95,6 +95,18 @@ def _check_tiled_alignment(fmt, dim: str, nshards: int = 1):
                 f"row-sharding TiledBitplane requires K % (8*tkb) == 0 "
                 f"(K={fmt.K}, tkb={fmt.tkb}); rebuild with a block "
                 f"dividing K")
+    elif isinstance(fmt, TiledEllDeposit):
+        from ternary_spgemm_tpu.formats.ell_deposit import SB_ROWS
+        if dim == "N" and fmt.N % fmt.tile_n:
+            raise ValueError(
+                f"column-sharding TiledEllDeposit requires N % tile_n == 0 "
+                f"(N={fmt.N}, tile_n={fmt.tile_n}); rebuild with "
+                f"from_dense(..., tile_n=<128-multiple divisor of N>)")
+        if dim == "K" and fmt.K % SB_ROWS:
+            raise ValueError(
+                f"row-sharding TiledEllDeposit requires K % {SB_ROWS} == 0 "
+                f"(K={fmt.K}); a shard boundary inside a deposit superblock "
+                f"maps activations to the wrong decoded rows")
     elif isinstance(fmt, TiledEllTCSC):
         if dim == "N" and fmt.N % fmt.tile_n:
             raise ValueError(

@@ -25,6 +25,7 @@ from ternary_spgemm_tpu.formats import (
     TiledBitplane,
     TiledBlockPacked,
     TiledDenseTernary,
+    TiledEllDeposit,
     TiledEllTCSC,
     all_formats,
     generate_ternary,
@@ -36,7 +37,7 @@ SIMPLE_FORMATS = [TCSC, TCSR, InterleavedTCSC, PackedCSC,
                   PackedTernary2Bit, PackedTernary53, BlockPackedTernary,
                   TiledDenseTernary, TiledBlockPacked,
                   EllTCSC, BlockedEllTCSC, TiledEllTCSC, TiledBitplane,
-                  DenseTernary]
+                  TiledEllDeposit, DenseTernary]
 BLOCKED_FORMATS = [BlockedTCSC, InterleavedBlockedTCSC]
 
 
@@ -129,7 +130,7 @@ def test_format_registry_has_all():
             "InterleavedTCSC", "InterleavedBlockedTCSC", "EllTCSC",
             "PackedCSC", "PackedTernary2Bit", "PackedTernary53",
             "BlockPackedTernary", "DenseTernary", "TiledEllTCSC",
-            "TiledBitplane"} <= names
+            "TiledBitplane", "TiledEllDeposit"} <= names
 
 
 def test_formats_are_pytrees():

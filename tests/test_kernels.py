@@ -24,6 +24,7 @@ from ternary_spgemm_tpu.formats import (
     TCSC,
     TCSR,
     TiledBitplane,
+    TiledEllDeposit,
     TiledEllTCSC,
     generate_alpha,
     generate_bias,
@@ -45,6 +46,7 @@ _FMT_KWARGS = {
     EllTCSC: dict(tile_n=128),
     TiledEllTCSC: dict(block_k=31, tile_n=128),
     TiledBitplane: dict(tkb=4, tile_n=128),
+    TiledEllDeposit: dict(tile_n=128),
 }
 
 
