@@ -54,18 +54,23 @@ class TimingResult:
 
 
 def _device_loop(fn: Callable) -> Callable:
-    """Wrap ``x -> y`` into ``(x, n) -> scalar`` running ``fn`` n times
-    on-device with a serializing carry dependency."""
+    """Wrap ``(x, *aux) -> y`` into ``(x, n, aux) -> scalar`` running ``fn``
+    n times on-device with a serializing carry dependency. ``aux`` rides as
+    plain jit arguments: not carried, not perturbed — and, critically, not
+    baked into the program (closure-captured arrays become HLO literals,
+    whose bytes ship with every (remote) compile and key the compile cache
+    on the *values*; a 256 MB container plane overflows this tunnel's
+    remote-compile request outright)."""
 
     @jax.jit
-    def looped(x, n):
+    def looped(x, n, aux):
         def cond(carry):
             i, _, _ = carry
             return i < n
 
         def body(carry):
             i, xc, s = carry
-            y = fn(xc)
+            y = fn(xc, *aux)
             # Multiplicative perturbation: 1 + s*1e-45 rounds to exactly 1.0f
             # for any |s| < ~1e37, so xc is bit-identical every iteration
             # (including zero entries, which an additive epsilon would
@@ -78,16 +83,35 @@ def _device_loop(fn: Callable) -> Callable:
     return looped
 
 
-def time_device_loop(fn: Callable, x, *, min_seconds: float = MIN_SECONDS,
+def time_device_loop(fn: Callable, x, *, aux=(), min_seconds: float = MIN_SECONDS,
                      max_runs: int = MAX_RUNS) -> TimingResult:
-    """Calibrated on-device-loop slope timing of ``fn(x)`` (the default)."""
+    """Calibrated on-device-loop slope timing of ``fn(x, *aux)`` (the default).
+
+    ``x`` must be SMALL relative to the traffic under test: the serializing
+    carry perturbs the whole of ``x`` every iteration, i.e. one extra
+    read+write elementwise pass over it. Passing the large array being
+    streamed as ``x`` halves the apparent bandwidth — this exact mistake
+    manufactured round 1's phantom "217 GB/s cliff at 256 MB" (root-caused
+    2026-08-17: the same DMAs run at ~750 GB/s when the array rides in
+    ``aux`` and ``x`` is a small seed). Large weight containers belong in
+    ``aux``, never in a closure (HLO-literal bloat) and never in ``x``.
+    """
+    import warnings
+    nbytes = sum(getattr(a, "nbytes", 0) for a in jax.tree_util.tree_leaves(x))
+    if nbytes > 32 * 2**20:
+        warnings.warn(
+            f"time_device_loop: carried input is {nbytes/2**20:.0f} MB; the "
+            "serializing perturbation re-reads and re-writes it every "
+            "iteration, corrupting bandwidth measurements. Pass large "
+            "arrays via aux= and carry a small seed instead.",
+            stacklevel=2)
     looped = _device_loop(fn)
     # Warm-up fetch: compiles, runs once, and forces transfer-path init.
-    float(np.asarray(looped(x, 1)))
+    float(np.asarray(looped(x, 1, aux)))
 
     def t_at(n):
         t0 = time.perf_counter()
-        float(np.asarray(looped(x, n)))  # readback = the only reliable fence
+        float(np.asarray(looped(x, n, aux)))  # readback = the only true fence
         return time.perf_counter() - t0
 
     n = 16
@@ -102,7 +126,7 @@ def time_device_loop(fn: Callable, x, *, min_seconds: float = MIN_SECONDS,
     return TimingResult(seconds=d / (n - n // 2), runs=n, total_seconds=t_n)
 
 
-def time_wall(fn: Callable, x, *, min_seconds: float = MIN_SECONDS,
+def time_wall(fn: Callable, x, *, aux=(), min_seconds: float = MIN_SECONDS,
               max_runs: int = MAX_RUNS) -> TimingResult:
     """Host-dispatch wall timing (includes per-call dispatch overhead).
 
@@ -112,13 +136,13 @@ def time_wall(fn: Callable, x, *, min_seconds: float = MIN_SECONDS,
     scalar readback of the last result for a true fence.
     """
     f = jax.jit(fn)
-    float(np.asarray(jnp.ravel(f(x))[0]))  # compile + transfer-path warm-up
+    float(np.asarray(jnp.ravel(f(x, *aux))[0]))  # compile + transfer warm-up
 
     def t_at(n):
         t0 = time.perf_counter()
         out = None
         for _ in range(n):
-            out = f(x)
+            out = f(x, *aux)
         float(np.asarray(jnp.ravel(out)[0]))
         return time.perf_counter() - t0
 

@@ -24,9 +24,14 @@ def test_canonical_grid_matches_reference():
     assert len(grid) == 8 * 8 * 4
     assert (1, 512, 2048, 2) in grid
     assert (64000, 16384, 4096, 16) in grid
-    # M varies innermost so the W cache hits across the M axis
-    k0 = [g for g in grid[:8]]
-    assert all(g[1:] == k0[0][1:] for g in k0)
+    # s varies innermost (X cache hits across sparsities), M next (W and
+    # container caches hit across the M axis) — set identical to the
+    # reference grid, order optimized for the host-side caches.
+    s0 = grid[:4]
+    assert [g[3] for g in s0] == [2, 4, 8, 16]
+    assert all(g[:3] == s0[0][:3] for g in s0)
+    m8 = [g[0] for g in grid[::4][:8]]
+    assert m8 == [1, 16, 64, 256, 1000, 4000, 16000, 64000]
 
 
 def test_varyonly_grid():

@@ -20,18 +20,24 @@ import subprocess
 import sys
 
 #: Option sets to sweep. Each entry: (name, env overrides).
+#:
+#: Flag-validity note (probed on this stack 2026-08-17): the PJRT plugin's
+#: host-side flag registry rejects every ``--xla_tpu_*`` name in XLA_FLAGS
+#: with a FATAL "Unknown flag" (the reference's O2/O3/Ofast analogues do not
+#: exist here); only generic XLA flags parse. TPU-backend flags must travel
+#: via LIBTPU_INIT_ARGS, which parses cleanly — whether each reaches the
+#: remote compiler is exactly what the measured deltas reveal.
 OPTION_SETS = [
     ("baseline", {}),
-    ("no_autofusion", {"XLA_FLAGS": "--xla_tpu_enable_dot_strength_reduction=false"}),
-    ("aggressive_fusion", {"XLA_FLAGS": "--xla_tpu_rwb_fusion=true"}),
-    ("async_collectives", {"XLA_FLAGS": "--xla_tpu_enable_async_collective_fusion=true"}),
-    ("latency_hiding", {"XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"}),
-    # Mosaic/Pallas-side knobs (the kernels here are all Pallas): scoped-VMEM
-    # headroom shifts the double-buffering budget Mosaic gives pallas_call.
-    ("scoped_vmem_64m", {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=65536"}),
-    ("scoped_vmem_16m", {"XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=16384"}),
-    ("no_latency_hiding",
-     {"XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=false"}),
+    ("opt_level_0", {"XLA_FLAGS": "--xla_backend_optimization_level=0"}),
+    ("opt_level_2", {"XLA_FLAGS": "--xla_backend_optimization_level=2"}),
+    ("libtpu_vmem_64m",
+     {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=65536"}),
+    ("libtpu_vmem_16m",
+     {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=16384"}),
+    ("libtpu_no_latency_hiding",
+     {"LIBTPU_INIT_ARGS": "--xla_tpu_enable_latency_hiding_scheduler=false"}),
+    ("matmul_precision_highest", {"JAX_DEFAULT_MATMUL_PRECISION": "highest"}),
 ]
 
 

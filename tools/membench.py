@@ -42,22 +42,47 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _stream_kernel_4d(t_ref, o_ref):
-    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-    o_ref[:] += t_ref[0, 0, :8, :128].astype(jnp.int32)
+def _consume(tile, acc, tk):
+    # Every byte must flow into the result: Mosaic narrows a block's DMA to
+    # the accessed subwindow, so a corner-read "streamer" measures partially
+    # ELIDED transfers (observed: impossible >1.2 TB/s on 819 GB/s HBM).
+    # Wraparound int8 adds keep the VPU cost ~4x under the DMA rate.
+    for r in range(tk // 8):
+        acc = acc + tile[8 * r:8 * (r + 1), :]
+    return acc
 
 
-def _stream_kernel_2d(t_ref, o_ref):
+def _stream_kernel_4d(x_ref, t_ref, o_ref, acc_ref, *, tk):
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-    o_ref[:] += t_ref[:8, :128].astype(jnp.int32)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+    acc_ref[:] = _consume(t_ref[0, 0], acc_ref[:], tk)
+    @pl.when((pl.program_id(0) == pl.num_programs(0) - 1) &
+             (pl.program_id(1) == pl.num_programs(1) - 1))
+    def _():
+        o_ref[:] = acc_ref[:8, :128].astype(jnp.int32) + x_ref[:]
+
+
+def _stream_kernel_2d(x_ref, t_ref, o_ref, acc_ref, *, tk):
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+    acc_ref[:] = _consume(t_ref[:], acc_ref[:], tk)
+    @pl.when((pl.program_id(0) == pl.num_programs(0) - 1) &
+             (pl.program_id(1) == pl.num_programs(1) - 1))
+    def _():
+        o_ref[:] = acc_ref[:8, :128].astype(jnp.int32) + x_ref[:]
 
 
 def stream_rate(arr_bytes: int, tk: int, tn: int, layout: str):
-    """Time a full streaming pass over an int8 array of ~arr_bytes."""
+    """Time a full streaming pass over an int8 array of ~arr_bytes.
+
+    Two design rules learned the hard way (docs/perf.md §10): the array
+    under test rides in the timer's ``aux`` channel — carrying it as the
+    perturbed loop input adds a read+write pass per iteration (round 1's
+    phantom cliff) — and the kernel must *consume every byte* or Mosaic
+    narrows the DMA and the numbers exceed physical HBM bandwidth.
+    """
     ntiles = max(1, arr_bytes // (tk * tn))
     gk = max(1, int(np.sqrt(ntiles)))
     gn = max(1, ntiles // gk)
@@ -73,18 +98,21 @@ def stream_rate(arr_bytes: int, tk: int, tn: int, layout: str):
                             memory_space=pltpu.VMEM)
         kern = _stream_kernel_2d
 
-    def run(a):
+    def run(x, a):
         return pl.pallas_call(
-            kern,
+            functools.partial(kern, tk=tk),
             grid=(gk, gn),
-            in_specs=[spec],
+            in_specs=[pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM), spec],
             out_specs=pl.BlockSpec((8, 128), lambda i, j: (0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((8, tn), jnp.int8)],
             interpret=_interpret(),
-        )(a)
+        )(x, a)
 
-    t = time_device_loop(run, arr)
+    t = time_device_loop(run, jnp.zeros((8, 128), jnp.int32), aux=(arr,))
+    del arr
     return {"mb": nbytes / 2**20, "tile": [tk, tn], "layout": layout,
             "grid": [gk, gn], "seconds": t.seconds,
             "gbps": nbytes / t.seconds / 1e9}

@@ -61,7 +61,11 @@ def build_grid(args):
     ms = args.m_values or CANONICAL_M
     kns = args.kn or CANONICAL_KN
     ss = args.s_values or CANONICAL_S
-    for (k, n), s, m in itertools.product(kns, ss, ms):
+    # s innermost (vs the reference's M-innermost, run_benchmark.py:26-29):
+    # same config set, but X(M, K) stays cached across the 4 sparsities and
+    # W/containers per (K, N, s) stay cached across the M axis (harness
+    # caches) — the order is purely a host-side-cost optimization.
+    for (k, n), m, s in itertools.product(kns, ms, ss):
         yield m, k, n, s
 
 
@@ -98,6 +102,11 @@ def main(argv=None) -> int:
     p.add_argument("--kernels", default=None,
                    help="comma-separated kernel names (default: bench.py set)")
     p.add_argument("--correctness", action="store_true")
+    p.add_argument("--correctness-limit", type=int, default=1 << 24,
+                   help="gate correctness only when M*N <= this (the dense "
+                        "reference + comparison needs an (M, N) device->host "
+                        "readback; the tunnel makes GB-scale readbacks "
+                        "impractical)")
     p.add_argument("--min-seconds", type=float, default=0.05)
     p.add_argument("--platform", default=None)
     p.add_argument("--limit", type=int, default=None,
@@ -121,8 +130,9 @@ def main(argv=None) -> int:
         skips = {kn: skip_reason(kn, m, k, n, s) for kn in kernels}
         run_kernels = [kn for kn in kernels if skips[kn] is None]
         cfg = BenchConfig(M=m, K=k, N=n, s=s, kernels=run_kernels,
-                          correctness=args.correctness, prelu=args.prelu,
-                          min_seconds=args.min_seconds)
+                          correctness=(args.correctness
+                                       and m * n <= args.correctness_limit),
+                          prelu=args.prelu, min_seconds=args.min_seconds)
         print(f"[{i+1}/{len(grid)}] M={m} K={k} N={n} s={s} "
               f"(elapsed {time.time()-t_start:.0f}s)", flush=True)
         try:
