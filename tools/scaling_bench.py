@@ -19,6 +19,8 @@ import argparse
 import json
 import sys
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
