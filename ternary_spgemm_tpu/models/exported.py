@@ -39,14 +39,21 @@ class ExportedBitLinear:
 
     def __init__(self, fmt: TernaryFormat, fmt_t: TernaryFormat, gamma: float,
                  bias, alpha=None, *, kernel: Optional[str] = None):
-        self.fmt = fmt
-        self.fmt_t = fmt_t
+        # Containers live as DEVICE pytrees and flow through the custom-VJP
+        # fn as ARGUMENTS, never as closure captures: captured leaves inline
+        # as HLO literal constants under a user's jit — their bytes ship
+        # with every compile (a 256 MB plane overflows this environment's
+        # remote-compile request) and key the compile cache on the weight
+        # values (docs/perf.md §10). The layer is itself a registered pytree:
+        # pass it THROUGH jit (``jax.jit(lambda l, x: l(x))(layer, x)``) and
+        # the compile is literal-free; closing over it inlines the weights.
+        self.fmt = jax.tree_util.tree_map(jnp.asarray, fmt)
+        self.fmt_t = jax.tree_util.tree_map(jnp.asarray, fmt_t)
         self.gamma = float(gamma)
         self.bias = jnp.asarray(bias, jnp.float32)
         self.alpha = None if alpha is None else jnp.asarray(alpha, jnp.float32)
         self.kernel = kernel
-        self._f = _make_vjp_fn(fmt, fmt_t, self.gamma, kernel,
-                               has_alpha=self.alpha is not None)
+        self._f = None  # custom-VJP fn, built lazily (pytree unflatten path)
 
     @classmethod
     def from_params(cls, params: dict, format_cls: Type[TernaryFormat], *,
@@ -69,9 +76,30 @@ class ExportedBitLinear:
                    gamma, bias, alpha, kernel=kernel)
 
     def __call__(self, x):
+        if self._f is None:
+            self._f = _make_vjp_fn(self.fmt.shape[0], self.gamma, self.kernel,
+                                   has_alpha=self.alpha is not None)
         if self.alpha is None:
-            return self._f(x, self.bias)
-        return self._f(x, self.bias, self.alpha)
+            return self._f(x, self.bias, self.fmt, self.fmt_t)
+        return self._f(x, self.bias, self.alpha, self.fmt, self.fmt_t)
+
+
+def _flatten_bitlinear(l: "ExportedBitLinear"):
+    return (l.bias, l.alpha, l.fmt, l.fmt_t), (l.gamma, l.kernel)
+
+
+def _unflatten_bitlinear(aux, children) -> "ExportedBitLinear":
+    # Bypass __init__: unflatten must tolerate tracer/sentinel children
+    # (jax calls it during tracing and structure-only transforms).
+    obj = object.__new__(ExportedBitLinear)
+    obj.bias, obj.alpha, obj.fmt, obj.fmt_t = children
+    obj.gamma, obj.kernel = aux
+    obj._f = None
+    return obj
+
+
+jax.tree_util.register_pytree_node(
+    ExportedBitLinear, _flatten_bitlinear, _unflatten_bitlinear)
 
 
 class ExportedMLP:
@@ -97,46 +125,64 @@ class ExportedMLP:
         return x
 
 
-def _make_vjp_fn(fmt, fmt_t, gamma: float, kernel, *, has_alpha: bool):
-    K, N = fmt.shape
+jax.tree_util.register_pytree_node(
+    ExportedMLP,
+    lambda m: (tuple(m.layers), None),
+    lambda _, layers: ExportedMLP(layers))
+
+
+def _zero_cotangent(tree):
+    """Symbolic-zero cotangents for a non-differentiable container pytree
+    (integer/index leaves take float0 zeros, float leaves ordinary zeros)."""
+    def z(a):
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
+            return jnp.zeros(jnp.shape(a), jnp.asarray(a).dtype)
+        return np.zeros(jnp.shape(a), jax.dtypes.float0)
+    return jax.tree_util.tree_map(z, tree)
+
+
+def _make_vjp_fn(K: int, gamma: float, kernel, *, has_alpha: bool):
     zero_b_t = jnp.zeros((K,), jnp.float32)
 
-    def linear(x, b):
+    def linear(x, b, fmt):
         # gamma * (x @ Wq) + b  ==  gamma * (x @ Wq + b/gamma)
         return ternary_spgemm(x, fmt, b / gamma, None, kernel=kernel) * gamma
 
-    def linear_t(g):
+    def linear_t(g, fmt_t):
         # gamma * (g @ Wq^T) through the transposed container
         return ternary_spgemm(g, fmt_t, zero_b_t, None, kernel=kernel) * gamma
 
     if not has_alpha:
         @jax.custom_vjp
-        def f(x, b):
-            return linear(x, b)
+        def f(x, b, fmt, fmt_t):
+            return linear(x, b, fmt)
 
-        def fwd(x, b):
-            return linear(x, b), None
+        def fwd(x, b, fmt, fmt_t):
+            return linear(x, b, fmt), (fmt, fmt_t)
 
-        def bwd(_, g):
-            return linear_t(g), jnp.sum(g, axis=0)
+        def bwd(res, g):
+            fmt, fmt_t = res
+            return (linear_t(g, fmt_t), jnp.sum(g, axis=0),
+                    _zero_cotangent(fmt), _zero_cotangent(fmt_t))
 
         f.defvjp(fwd, bwd)
         return f
 
     @jax.custom_vjp
-    def f(x, b, alpha):
-        y = linear(x, b)
+    def f(x, b, alpha, fmt, fmt_t):
+        y = linear(x, b, fmt)
         return jnp.where(y > 0, y, alpha[None, :] * y)
 
-    def fwd(x, b, alpha):
-        y = linear(x, b)
-        return jnp.where(y > 0, y, alpha[None, :] * y), (y, alpha)
+    def fwd(x, b, alpha, fmt, fmt_t):
+        y = linear(x, b, fmt)
+        return jnp.where(y > 0, y, alpha[None, :] * y), (y, alpha, fmt, fmt_t)
 
     def bwd(res, g):
-        y, alpha = res
+        y, alpha, fmt, fmt_t = res
         g_lin = jnp.where(y > 0, g, alpha[None, :] * g)
         dalpha = jnp.sum(jnp.where(y > 0, 0.0, y * g), axis=0)
-        return linear_t(g_lin), jnp.sum(g_lin, axis=0), dalpha
+        return (linear_t(g_lin, fmt_t), jnp.sum(g_lin, axis=0), dalpha,
+                _zero_cotangent(fmt), _zero_cotangent(fmt_t))
 
     f.defvjp(fwd, bwd)
     return f

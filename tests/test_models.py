@@ -164,6 +164,40 @@ def test_exported_layer_no_alpha_grads():
                                atol=1e-5)
 
 
+def test_exported_layer_is_pytree_and_literal_free():
+    """The layer rides THROUGH jit as an argument (registered pytree):
+    the lowered HLO must contain no large weight literals — closure-captured
+    container leaves inline as constants, which ships the weight bytes with
+    every compile and keys the compile cache on weight values
+    (docs/perf.md §10)."""
+    import re
+    from ternary_spgemm_tpu.formats import TCSC
+    from ternary_spgemm_tpu.models import ExportedBitLinear
+
+    W = np.asarray(jax.random.randint(jax.random.key(5), (96, 160), -1, 2),
+                   np.int8)
+    exp = ExportedBitLinear.from_dense(W, TCSC, gamma=0.5,
+                                       bias=np.ones(160, np.float32))
+    x = jax.random.normal(jax.random.key(6), (8, 96))
+
+    apply = jax.jit(lambda l, xx: l(xx))
+    got = np.asarray(apply(exp, x))
+    want = (np.asarray(x) @ np.asarray(W, np.float32)) * 0.5 + 1.0
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # grads flow through the pytree-arg path too (containers get symbolic
+    # zero cotangents; x-grad matches dense autodiff)
+    g = jax.jit(jax.grad(lambda xx, l: jnp.sum(l(xx) ** 2)))(x, exp)
+    g_ref = jax.grad(
+        lambda xx: jnp.sum(((xx @ jnp.asarray(W, jnp.float32)) * 0.5 + 1.0) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-3)
+
+    hlo = apply.lower(exp, x).as_text()
+    assert not re.findall(r"dense<[^>]{200,}", hlo), \
+        "container leaves leaked into the compile as HLO literals"
+
+
 def test_exported_mlp_matches_training_forward():
     from ternary_spgemm_tpu.models import ExportedMLP
 

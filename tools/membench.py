@@ -46,9 +46,16 @@ def _consume(tile, acc, tk):
     # Every byte must flow into the result: Mosaic narrows a block's DMA to
     # the accessed subwindow, so a corner-read "streamer" measures partially
     # ELIDED transfers (observed: impossible >1.2 TB/s on 819 GB/s HBM).
-    # Wraparound int8 adds keep the VPU cost ~4x under the DMA rate.
-    for r in range(tk // 8):
-        acc = acc + tile[8 * r:8 * (r + 1), :]
+    # Reinterpret int8 rows as int32 words (register-level, free; Mosaic
+    # vectors support only i16/i32 arithmetic) and wraparound-add: one
+    # lane-op per 4 bytes keeps the VPU ~4x under the DMA rate.
+    if _interpret():
+        w = jax.lax.bitcast_convert_type(
+            tile.reshape(tk // 4, 4, -1).swapaxes(1, 2), jnp.int32)
+    else:
+        w = pltpu.bitcast(tile, jnp.int32)          # (tk/4, tn)
+    for r in range(tk // 32):
+        acc = acc + w[8 * r:8 * (r + 1), :]
     return acc
 
 
@@ -60,7 +67,7 @@ def _stream_kernel_4d(x_ref, t_ref, o_ref, acc_ref, *, tk):
     @pl.when((pl.program_id(0) == pl.num_programs(0) - 1) &
              (pl.program_id(1) == pl.num_programs(1) - 1))
     def _():
-        o_ref[:] = acc_ref[:8, :128].astype(jnp.int32) + x_ref[:]
+        o_ref[:] = acc_ref[:8, :128] + x_ref[:]
 
 
 def _stream_kernel_2d(x_ref, t_ref, o_ref, acc_ref, *, tk):
@@ -71,7 +78,7 @@ def _stream_kernel_2d(x_ref, t_ref, o_ref, acc_ref, *, tk):
     @pl.when((pl.program_id(0) == pl.num_programs(0) - 1) &
              (pl.program_id(1) == pl.num_programs(1) - 1))
     def _():
-        o_ref[:] = acc_ref[:8, :128].astype(jnp.int32) + x_ref[:]
+        o_ref[:] = acc_ref[:8, :128] + x_ref[:]
 
 
 def stream_rate(arr_bytes: int, tk: int, tn: int, layout: str):
@@ -107,7 +114,7 @@ def stream_rate(arr_bytes: int, tk: int, tn: int, layout: str):
             out_specs=pl.BlockSpec((8, 128), lambda i, j: (0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((8, tn), jnp.int8)],
+            scratch_shapes=[pltpu.VMEM((8, tn), jnp.int32)],
             interpret=_interpret(),
         )(x, a)
 

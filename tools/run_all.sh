@@ -8,13 +8,22 @@ OUT=${OUT:-bench_artifacts}
 mkdir -p "$OUT"
 
 python tools/sweep.py --preset bitnet ${SWEEP_ARGS} \
-  --kernels PallasTiledDense_i8,PallasTiledBlockPacked_i8,PallasDense_bf16,PallasDense \
+  --kernels PallasTiledDense_i8,PallasTiledBitplane_i8,PallasDense_bf16,PallasDense \
   --output "$OUT/bitnet_sweep.json"
 
 python tools/plot_perf.py "$OUT/bitnet_sweep.json" --output "$OUT/performance.png"
 python tools/plot_roofline.py "$OUT/bitnet_sweep.json" --output "$OUT/roofline.png"
 python tools/plot_speedup.py "$OUT/bitnet_sweep.json" --baseline PallasDense \
   --output "$OUT/speedup.png"
+
+# Canonical-grid plots (when the full sweep artifact exists, speedup uses the
+# reference's own BaseTCSC convention, main.cpp:257-263)
+if [ -f "$OUT/canonical_sweep.json" ]; then
+  python tools/plot_perf.py "$OUT/canonical_sweep.json" --output "$OUT/canonical_performance.png"
+  python tools/plot_roofline.py "$OUT/canonical_sweep.json" --output "$OUT/canonical_roofline.png"
+  python tools/plot_speedup.py "$OUT/canonical_sweep.json" --baseline BaseTCSC \
+    --output "$OUT/canonical_speedup.png"
+fi
 
 python bench.py --json-out "$OUT/headline.json"
 echo "artifacts in $OUT/"
