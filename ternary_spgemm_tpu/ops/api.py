@@ -46,6 +46,11 @@ class KernelSpec:
     tpu_only: bool = False
     #: True if results are inexact vs the f32 reference (e.g. bf16 MXU path)
     approximate: bool = False
+    #: Largest |x| for which the kernel is exact on integer-valued
+    #: activations. The reference's test domain is +-512 (perf.cpp:301);
+    #: int8-native-activation (_x8) kernels are exact only for |x| <= 127
+    #: (the BitNet a8 regime) and CLAMP outside it. None = any float.
+    x_absmax: Optional[int] = None
 
     def __call__(self, X, fmt, bias, alpha=None):
         return self.fn(X, fmt, bias, alpha)
@@ -53,7 +58,8 @@ class KernelSpec:
 
 def register_kernel(name: str, format_cls: Type[TernaryFormat], *,
                     description: str = "", reference: str = "",
-                    tpu_only: bool = False, approximate: bool = False):
+                    tpu_only: bool = False, approximate: bool = False,
+                    x_absmax: Optional[int] = None):
     """Decorator: register a kernel under ``name`` (``add_function`` analogue)."""
 
     def deco(fn):
@@ -61,7 +67,8 @@ def register_kernel(name: str, format_cls: Type[TernaryFormat], *,
             raise ValueError(f"kernel {name!r} already registered")
         _KERNEL_REGISTRY[name] = KernelSpec(
             name=name, fn=fn, format_cls=format_cls, description=description,
-            reference=reference, tpu_only=tpu_only, approximate=approximate)
+            reference=reference, tpu_only=tpu_only, approximate=approximate,
+            x_absmax=x_absmax)
         return fn
 
     return deco
@@ -111,15 +118,20 @@ def ternary_spgemm(X, fmt: TernaryFormat, bias, alpha=None, *,
         return spec.fn(X, fmt, bias, alpha)
     candidates = [s for s in _KERNEL_REGISTRY.values()
                   if isinstance(fmt, s.format_cls) and not s.approximate
-                  and not s.name.endswith("_i8")]
-    # Default dispatch must be safe for ANY float input, so the _i8 kernels
-    # (exact only for integer activations; they round otherwise) are opt-in
-    # via kernel=. Among the fully-exact kernels, prefer Pallas on TPU and
+                  and s.x_absmax is None]
+    # Default dispatch must be safe for ANY float input, so kernels with a
+    # restricted activation domain (_i8: integer |x|<=512, rounding
+    # otherwise; _x8: integer |x|<=127, clamping otherwise) are opt-in via
+    # kernel=. Among the fully-exact kernels, prefer Pallas on TPU and
     # the XLA formulations elsewhere (Pallas would run interpreted).
     if not candidates:
         candidates = [s for s in _KERNEL_REGISTRY.values()
                       if isinstance(fmt, s.format_cls) and not s.approximate]
         if candidates:
+            # widest activation domain wins (prefer _i8 |x|<=512 over
+            # _x8 |x|<=127)
+            widest = max(s.x_absmax for s in candidates)
+            candidates = [s for s in candidates if s.x_absmax == widest]
             import warnings
             warnings.warn(
                 f"{type(fmt).__name__}'s only exact kernels are integer-"

@@ -393,7 +393,8 @@ def _dense_i8_fused(X, Wd, bias, alpha, *, tm: int = 256, tn: int = 1024,
     description="int8-split MXU path (x = 8a + r - 512): exact for "
                 "integer activations |x|<=512 at 2x bf16 MXU rate",
     reference="strategy inversion of cpp_impl/comp.h; activation domain "
-              "matches perf.cpp:301 (initX +-512)")
+              "matches perf.cpp:301 (initX +-512)",
+    x_absmax=512)
 def pallas_dense_i8_kernel(X, fmt: DenseTernary, bias, alpha=None, **tiles):
     return _dense_i8_fused(X, fmt.dense, bias, alpha, **tiles)
 
@@ -473,7 +474,8 @@ def _packed_i8_fused(X, packed, K: int, N: int, factor: int, bias, alpha, *,
     "PallasPacked2Bit_i8", PackedTernary2Bit,
     description="2-bit decode -> int8-split MXU dots (exact for integer "
                 "activations |x|<=512); the flagship exact kernel",
-    reference="readme.md:108-111 roadmap codec; activation domain perf.cpp:301")
+    reference="readme.md:108-111 roadmap codec; activation domain perf.cpp:301",
+    x_absmax=512)
 def pallas_packed2_i8_kernel(X, fmt: PackedTernary2Bit, bias, alpha=None, **tiles):
     return _packed_i8_fused(X, fmt.packed, X.shape[1], fmt.N, fmt.FACTOR, bias,
                             alpha, base3=False, **tiles)
@@ -483,7 +485,8 @@ def pallas_packed2_i8_kernel(X, fmt: PackedTernary2Bit, bias, alpha=None, **tile
     "PallasPacked53_i8", PackedTernary53,
     description="base-3 decode (strength-reduced) -> int8-split MXU dots "
                 "(exact for integer activations |x|<=512)",
-    reference="readme.md:108-111 ('8 bits for 5 values')")
+    reference="readme.md:108-111 ('8 bits for 5 values')",
+    x_absmax=512)
 def pallas_packed53_i8_kernel(X, fmt: PackedTernary53, bias, alpha=None, **tiles):
     return _packed_i8_fused(X, fmt.packed, X.shape[1], fmt.N, fmt.FACTOR, bias,
                             alpha, base3=True, **tiles)
@@ -565,7 +568,8 @@ def _blockpacked_i8s_kernel(ar_ref, p_ref, b_ref, al_ref, o_ref,
     description="block-local packed codes -> single int8 MXU dot per K-block "
                 "(exact for integer activations |x|<=512); flagship kernel",
     reference="readme.md:108-111 roadmap codec + BlockedTCSC.h cache-coupled "
-              "blocking, fused epilogue comp_prelu.h:12-70")
+              "blocking, fused epilogue comp_prelu.h:12-70",
+    x_absmax=512)
 def pallas_blockpacked_i8_kernel(X, fmt: BlockPackedTernary, bias, alpha=None,
                                  *, tm: int = 256, tn: int = 1024,
                                  stacked: bool = False):
@@ -655,29 +659,40 @@ def _tiled_dense_i8_kernel(a_ref, r_ref, w_ref, b_ref, al_ref, o_ref,
         o_ref[:] = _i8_epilogue(acc_ref[:], wsum_ref[:], b_ref, al_ref, has_alpha)
 
 
-def _tiled_call(kernel, a8, r8, tiles, bp, ap, *, TM, TK_eff, TN, scratch_rows):
+def _tiled_call(kernel, a8, r8, tiles, bp, ap, *, TM, TK_eff, TN,
+                scratch_rows, split: int = 1, wsum_scratch: bool = True):
+    """split > 1 sub-tiles the storage tile's N dim: compute tiles are
+    (TM, TN/split), weight DMA slabs stay byte-row-contiguous."""
     gk, gn = tiles.shape[0], tiles.shape[1]
-    grid = (a8.shape[0] // TM, gn, gk)
-    return pl.pallas_call(
+    TNs = TN // split
+    grid = (a8.shape[0] // TM, gn * split, gk)
+    x_specs = [pl.BlockSpec((TM, TK_eff), lambda i, j, k: (i, k),
+                            memory_space=pltpu.VMEM)]
+    if r8 is not None:
+        x_specs.append(pl.BlockSpec((TM, TK_eff), lambda i, j, k: (i, k),
+                                    memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((TM, TK_eff), lambda i, j, k: (i, k),
+        in_specs=x_specs + [
+            pl.BlockSpec((1, 1, tiles.shape[2], TNs),
+                         lambda i, j, k: (k, j // split, 0, j % split),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, TK_eff), lambda i, j, k: (i, k),
+            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1) + tiles.shape[2:], lambda i, j, k: (k, j, 0, 0),
+            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+        out_specs=pl.BlockSpec((TM, TNs), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((a8.shape[0], gn * TN), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((scratch_rows, TN), jnp.int32),
-                        pltpu.VMEM((1, TN), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((scratch_rows, TNs), jnp.int32)] +
+                       ([pltpu.VMEM((1, TNs), jnp.int32)]
+                        if wsum_scratch else []),
         interpret=_interpret(),
-    )(a8, r8, tiles, bp, ap)
+    )
+    args = (a8, tiles, bp, ap) if r8 is None else (a8, r8, tiles, bp, ap)
+    return out(*args)
 
 
 def _tiled_tm(M: int, TN: int) -> int:
@@ -688,18 +703,58 @@ def _tiled_tm(M: int, TN: int) -> int:
     return min(round_up(M, 32), cap)
 
 
+def _choose_tiles(M: int, K: int, N: int, tile_n: int, cell_bytes: int,
+                  x_mult: int, w_bits: float,
+                  budget: int = 6 * 1024 * 1024):
+    """Pick (TM, TNs, split): the COMPUTE tile width TNs may be a power-of-2
+    fraction of the STORAGE tile width (BlockSpec sub-tiling of the last
+    plane dim — DMA slabs stay contiguous per byte-row), trading narrower
+    output tiles for a taller TM under the VMEM budget.
+
+    Every M-tile pass re-streams AND re-decodes the whole weight plane
+    (grid order (m, n, k)), while every extra N-tile column re-streams the
+    activations — so minimize the modeled HBM traffic
+        gm * (2 * w_bytes)            # weight fetch + decode cost proxy
+      + (N / TNs) * x_mult * Mp * K   # activation refetch per N-tile
+    over TNs in {tile_n, tile_n/2, ..., 512}. This is what makes large M
+    viable: at M<=TM_max the plane streams exactly once and every weight
+    decodes ONCE (round-1 re-decoded per M-tile, VERDICT weak at M>=512).
+
+    cell_bytes: accumulator+output VMEM bytes per (m, n) cell (12 stacked
+    int8-split, 8 unstacked); x_mult: activation rows per logical row (2
+    stacked, 1 int8-native).
+    """
+    want = round_up(M, 32)
+    w_bytes = int(K * N * w_bits) // 8
+    best = None
+    TNs = tile_n
+    while True:
+        cap = max(32, (budget // (TNs * cell_bytes)) // 32 * 32)
+        TM = min(want, cap)
+        gm = -(-want // TM)
+        traffic = gm * 2 * w_bytes + (N // TNs) * x_mult * want * K
+        if best is None or traffic < best[0]:
+            best = (traffic, TM, TNs, tile_n // TNs)
+        if TNs <= 512 or (TNs // 2) % 128:
+            break
+        TNs //= 2
+    return best[1], best[2], best[3]
+
+
 @register_kernel(
     "PallasTiledDense_i8", TiledDenseTernary,
     description="tile-contiguous int8 plane -> int8-split MXU dots; streams "
                 "~90% of HBM bandwidth at 100MB+ weights (exact for integer "
                 "activations |x|<=512)",
     reference="strategy inversion of cpp_impl/comp.h; HBM-resident buffer "
-              "layout per BASELINE.json north star")
+              "layout per BASELINE.json north star",
+    x_absmax=512)
 def pallas_tiled_dense_i8_kernel(X, fmt: TiledDenseTernary, bias, alpha=None):
     M = X.shape[0]
     TK, TN = fmt.tile_k, fmt.tile_n
     gk = fmt.tiles.shape[0]
-    TM = _tiled_tm(M, TN)
+    TM, _, split = _choose_tiles(M, fmt.K, fmt.N, TN, cell_bytes=8,
+                                 x_mult=2, w_bits=8)
     Mp = round_up(M, TM)
     a8, r8 = _int8_split(X)
     a8 = jnp.pad(a8, ((0, Mp - M), (0, gk * TK - X.shape[1])))
@@ -710,7 +765,50 @@ def pallas_tiled_dense_i8_kernel(X, fmt: TiledDenseTernary, bias, alpha=None):
     out = _tiled_call(
         functools.partial(_tiled_dense_i8_kernel, has_alpha=alpha is not None),
         a8, r8, jnp.asarray(fmt.tiles), bp, ap,
-        TM=TM, TK_eff=TK, TN=TN, scratch_rows=TM)
+        TM=TM, TK_eff=TK, TN=TN, scratch_rows=TM, split=split)
+    return out[:M, :fmt.N]
+
+
+def _tiled_dense_x8_kernel(x_ref, w_ref, b_ref, al_ref, o_ref, acc_ref, *,
+                           has_alpha: bool):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[0, 0],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = _epilogue(acc_ref[:].astype(jnp.float32), b_ref, al_ref,
+                             has_alpha)
+
+
+@register_kernel(
+    "PallasTiledDense_x8", TiledDenseTernary,
+    description="tile-contiguous int8 plane with int8-NATIVE activations: "
+                "one unstacked int8 MXU dot per K-step — half the MXU work "
+                "of the 8a+r split at large M (exact for integer "
+                "activations |x|<=127, clamps outside)",
+    reference="strategy inversion of cpp_impl/comp.h; BitNet W1.58-A8 "
+              "regime (SURVEY.md §6)",
+    x_absmax=127)
+def pallas_tiled_dense_x8_kernel(X, fmt: TiledDenseTernary, bias, alpha=None):
+    M = X.shape[0]
+    TK, TN = fmt.tile_k, fmt.tile_n
+    gk = fmt.tiles.shape[0]
+    TM, _, split = _choose_tiles(M, fmt.K, fmt.N, TN, cell_bytes=8,
+                                 x_mult=1, w_bits=8)
+    Mp = round_up(M, TM)
+    x8 = jnp.pad(_to_x8(X), ((0, Mp - M), (0, gk * TK - X.shape[1])))
+    bp = _row_vec(bias, TN)[:, :fmt.tiles.shape[1] * TN]
+    ap = _row_vec(alpha if alpha is not None else np.zeros(fmt.N, np.float32),
+                  TN)[:, :fmt.tiles.shape[1] * TN]
+    out = _tiled_call(
+        functools.partial(_tiled_dense_x8_kernel, has_alpha=alpha is not None),
+        x8, None, jnp.asarray(fmt.tiles), bp, ap,
+        TM=TM, TK_eff=TK, TN=TN, scratch_rows=TM, split=split,
+        wsum_scratch=False)
     return out[:M, :fmt.N]
 
 
@@ -758,7 +856,8 @@ def _tiled_blockpacked_i8s_kernel(ar_ref, p_ref, b_ref, al_ref, o_ref,
     description="tile-contiguous block-local packed codes (2 or 1.6 bits/"
                 "weight) -> decode + stacked int8-split MXU dot (exact for "
                 "integer activations |x|<=512)",
-    reference="readme.md:108-111 roadmap codec + HBM-resident buffer layout")
+    reference="readme.md:108-111 roadmap codec + HBM-resident buffer layout",
+    x_absmax=512)
 def pallas_tiled_blockpacked_i8_kernel(X, fmt: TiledBlockPacked, bias,
                                        alpha=None, *, stacked: bool = True):
     M = X.shape[0]
@@ -888,16 +987,15 @@ def _tiled_bitplane_i8_kernel(ar_ref, p_ref, ws_ref, b_ref, al_ref, o_ref,
                 "dot per K-step; the flagship exact kernel (integer "
                 "activations |x|<=512)",
     reference="readme.md:108-111 roadmap codec done TPU-first; epilogue "
-              "comp_prelu.h:12-70; activation domain perf.cpp:301")
-def pallas_tiled_bitplane_i8_kernel(X, fmt: TiledBitplane, bias, alpha=None,
-                                    *, tm: int = 256):
+              "comp_prelu.h:12-70; activation domain perf.cpp:301",
+    x_absmax=512)
+def pallas_tiled_bitplane_i8_kernel(X, fmt: TiledBitplane, bias, alpha=None):
     M = X.shape[0]
     tkb, TN = fmt.tkb, fmt.tile_n
     B = 8 * tkb
     nb, gn = fmt.plane.shape[0], fmt.plane.shape[1]
-    # VMEM cap: stacked acc (2TM, TN) i32 + out (TM, TN) f32 = TM*TN*12 B
-    cap = max(32, (3 * 1024 * 1024) // (TN * 12) // 32 * 32)
-    TM = min(round_up(M, 32), tm, cap)
+    TM, TNs, split = _choose_tiles(M, fmt.K, fmt.N, TN, cell_bytes=12,
+                                   x_mult=2, w_bits=2)
     Mp = round_up(M, TM)
     gm = Mp // TM
     a8, r8 = _int8_split(X)
@@ -910,26 +1008,95 @@ def pallas_tiled_bitplane_i8_kernel(X, fmt: TiledBitplane, bias, alpha=None,
     out = pl.pallas_call(
         functools.partial(_tiled_bitplane_i8_kernel, tkb=tkb, tm=TM,
                           has_alpha=alpha is not None),
-        grid=(gm, gn, nb),
+        grid=(gm, gn * split, nb),
         in_specs=[
             pl.BlockSpec((2 * TM, B), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2 * tkb, TN), lambda i, j, k: (k, j, 0, 0),
+            pl.BlockSpec((1, 1, 2 * tkb, TNs),
+                         lambda i, j, k: (k, j // split, 0, j % split),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, TN), lambda i, j, k: (k, j, 0, 0),
+            pl.BlockSpec((1, 1, 1, TNs),
+                         lambda i, j, k: (k, j // split, 0, j % split),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda i, j, k: (0, j),
+            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda i, j, k: (0, j),
+            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+        out_specs=pl.BlockSpec((TM, TNs), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2 * TM, TN), jnp.int32),
-                        pltpu.VMEM((1, TN), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((2 * TM, TNs), jnp.int32),
+                        pltpu.VMEM((1, TNs), jnp.int32)],
         interpret=_interpret(),
     )(ar, jnp.asarray(fmt.plane), jnp.asarray(fmt.wsum), bp, ap)
+    return out[:M, :fmt.N]
+
+
+def _tiled_bitplane_x8_kernel(x_ref, p_ref, b_ref, al_ref, o_ref, acc_ref, *,
+                              tkb: int, has_alpha: bool):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _decode_bitplanes_merged(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = _epilogue(acc_ref[:].astype(jnp.float32), b_ref, al_ref,
+                             has_alpha)
+
+
+def _to_x8(X):
+    """f32 integer-valued activations -> int8, clamped to [-127, 127]."""
+    t = jnp.round(jnp.asarray(X, jnp.float32))
+    return jnp.clip(t, -127.0, 127.0).astype(jnp.int8)
+
+
+@register_kernel(
+    "PallasTiledBitplane_x8", TiledBitplane,
+    description="split-sign bitplanes (2 bits/weight) with int8-NATIVE "
+                "activations: one UNstacked int8 MXU dot per K-step (half "
+                "the MXU work of the 8a+r split) and no wsum correction; "
+                "the large-M flagship for the BitNet a8 regime (exact for "
+                "integer activations |x|<=127, clamps outside)",
+    reference="readme.md:108-111 roadmap codec; BitNet W1.58-A8 deployment "
+              "regime (SURVEY.md §6)",
+    x_absmax=127)
+def pallas_tiled_bitplane_x8_kernel(X, fmt: TiledBitplane, bias, alpha=None):
+    M = X.shape[0]
+    tkb, TN = fmt.tkb, fmt.tile_n
+    B = 8 * tkb
+    nb, gn = fmt.plane.shape[0], fmt.plane.shape[1]
+    TM, TNs, split = _choose_tiles(M, fmt.K, fmt.N, TN, cell_bytes=8,
+                                   x_mult=1, w_bits=2)
+    Mp = round_up(M, TM)
+    x8 = jnp.pad(_to_x8(X), ((0, Mp - M), (0, nb * B - X.shape[1])))
+    bp = _row_vec(bias, TN)[:, :gn * TN]
+    ap = _row_vec(alpha if alpha is not None else np.zeros(fmt.N, np.float32),
+                  TN)[:, :gn * TN]
+    out = pl.pallas_call(
+        functools.partial(_tiled_bitplane_x8_kernel, tkb=tkb,
+                          has_alpha=alpha is not None),
+        grid=(Mp // TM, gn * split, nb),
+        in_specs=[
+            pl.BlockSpec((TM, B), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * tkb, TNs),
+                         lambda i, j, k: (k, j // split, 0, j % split),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TNs), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TM, TNs), jnp.int32)],
+        interpret=_interpret(),
+    )(x8, jnp.asarray(fmt.plane), bp, ap)
     return out[:M, :fmt.N]
 
 
@@ -1000,7 +1167,8 @@ def _deposit_restructure(p8, nsb: int):
                 "(exact for integer activations |x|<=512)",
     reference="cpp_impl/data_structures/VectorTCSC.h:5-73 (padded ELL) + "
               "comp.h:1068-1149 strategy-inverted: deposit-then-MXU instead "
-              "of NEON gathers; epilogue comp_prelu.h:12-70")
+              "of NEON gathers; epilogue comp_prelu.h:12-70",
+    x_absmax=512)
 def pallas_ell_deposit_i8_kernel(X, fmt: TiledEllDeposit, bias, alpha=None,
                                  *, tm: int = 256):
     M = X.shape[0]

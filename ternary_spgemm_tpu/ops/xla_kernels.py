@@ -216,6 +216,21 @@ def dense_mxu_bf16_kernel(X, fmt: DenseTernary, bias, alpha=None):
     return finish(Y, bias, alpha)
 
 
+@register_kernel(
+    "DenseMXU_x8", DenseTernary,
+    description="int8-native XLA matmul: int8 activations x int8 ternary "
+                "plane with int32 accumulation — the XLA formulation of the "
+                "_x8 Pallas path (exact for integer activations |x|<=127, "
+                "clamps outside)",
+    reference="BitNet W1.58-A8 regime (SURVEY.md \u00a76)",
+    x_absmax=127)
+def dense_mxu_x8_kernel(X, fmt: DenseTernary, bias, alpha=None):
+    x8 = jnp.clip(jnp.round(jnp.asarray(X, jnp.float32)),
+                  -127.0, 127.0).astype(jnp.int8)
+    Y = jnp.dot(x8, fmt.dense, preferred_element_type=jnp.int32)
+    return finish(Y.astype(jnp.float32), bias, alpha)
+
+
 def decode_2bit(packed, K: int):
     """Decode a stride-packed 2-bit plane ``(Kq, N) uint8 -> (K, N) int8``.
 

@@ -65,10 +65,22 @@ def problem():
     return W, X, b, alpha, want, want_prelu
 
 
+def _domain_inputs(problem, spec):
+    """Restricted-domain kernels (x_absmax, e.g. the int8-native _x8 paths)
+    gate on activations clamped INTO their domain, against a reference
+    computed on the same clamped X (the harness does the same)."""
+    W, X, b, alpha, want, want_prelu = problem
+    if spec.x_absmax is not None and spec.x_absmax < 512:
+        X = np.clip(X, -spec.x_absmax, spec.x_absmax)
+        want = np.asarray(reference.dense_gemm(X, W, b))
+        want_prelu = np.asarray(reference.dense_gemm_prelu(X, W, b, alpha))
+    return W, X, b, alpha, want, want_prelu
+
+
 @pytest.mark.parametrize("name", sorted(all_kernels()))
 def test_kernel_matches_dense_reference(problem, name):
-    W, X, b, alpha, want, _ = problem
     spec = all_kernels()[name]
+    W, X, b, alpha, want, _ = _domain_inputs(problem, spec)
     fmt = _build(spec.format_cls, W)
     got = np.asarray(spec(X, fmt, b))
     if spec.approximate:
@@ -82,8 +94,8 @@ def test_kernel_matches_dense_reference(problem, name):
 
 @pytest.mark.parametrize("name", sorted(all_kernels()))
 def test_kernel_fused_prelu(problem, name):
-    W, X, b, alpha, want, want_prelu = problem
     spec = all_kernels()[name]
+    W, X, b, alpha, _, want_prelu = _domain_inputs(problem, spec)
     fmt = _build(spec.format_cls, W)
     got = np.asarray(spec(X, fmt, b, alpha))
     if spec.approximate:
@@ -133,7 +145,8 @@ def test_empty_column_and_row():
     W = np.zeros((32, 64), np.int8)
     W[0, 0] = 1
     W[5, 1] = -1
-    X = generate_x(4, 32, seed=0)
+    # value_range inside every kernel's activation domain (incl. _x8 |x|<=127)
+    X = generate_x(4, 32, seed=0, value_range=127)
     b = generate_bias(64)
     want = np.asarray(reference.dense_gemm(X, W, b))
     for name, spec in all_kernels().items():
