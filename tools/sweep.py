@@ -111,6 +111,10 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None)
     p.add_argument("--limit", type=int, default=None,
                    help="stop after this many configs (smoke runs)")
+    p.add_argument("--resume", action="store_true",
+                   help="load --output if it exists and skip configs already "
+                        "recorded (the per-config checkpointing makes long "
+                        "grids restartable after a timeout/preemption)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -122,9 +126,20 @@ def main(argv=None) -> int:
 
     kernels = args.kernels.split(",") if args.kernels else DEFAULT_KERNELS
     records = []
+    done = set()
+    if args.resume:
+        import os
+        if os.path.exists(args.output):
+            with open(args.output) as f:
+                records = json.load(f)
+            done = {tuple(r["test_case"][d] for d in ("M", "K", "N", "s"))
+                    for r in records}
+            print(f"resume: {len(done)} configs already in {args.output}",
+                  flush=True)
     grid = list(build_grid(args))
     if args.limit:
         grid = grid[:args.limit]
+    grid = [c for c in grid if c not in done]
     t_start = time.time()
     for i, (m, k, n, s) in enumerate(grid):
         skips = {kn: skip_reason(kn, m, k, n, s) for kn in kernels}
