@@ -74,3 +74,19 @@ def test_container_bundle_roundtrip(tmp_path):
         x = jnp.ones((4, 64))
         y = apply_exported(x, fmt2, gamma, b2)
         assert y.shape == (4, 128)
+
+
+def test_format_diagram_generators(tmp_path):
+    """Figure generators (plots/data_example_image analogue) draw every
+    diagram from the real from_dense output without error."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import format_diagram
+
+    rc = format_diagram.main(["--outdir", str(tmp_path)])
+    assert rc == 0
+    import os
+    made = sorted(os.listdir(tmp_path))
+    assert made == ["bitplane_structure.png", "blocked_tcsc_structure.png",
+                    "ell_deposit_structure.png", "tcsc_structure.png"]
+    assert all((tmp_path / f).stat().st_size > 10_000 for f in made)
