@@ -15,9 +15,11 @@ TPU complications it never had, and how this module handles them:
   O(ms..tens of ms) with high jitter, swamping a microsecond kernel. Two
   defenses: (a) the kernel runs inside an on-device ``lax.while_loop`` whose
   carry forces a serial dependency between iterations (a multiplicative
-  ``* (1 + s*1e-45)`` perturbation that rounds to a bit-exact no-op on the
-  f32 values — including zeros, which an additive epsilon would corrupt —
-  but is opaque to XLA), amortizing one dispatch over the whole run; (b) the per-iteration
+  ``* (1 + s*1e-45)`` perturbation of the carried input's FIRST ROW — a
+  bit-exact no-op on the f32 values, including zeros, which an additive
+  epsilon would corrupt — but opaque to XLA; touching one row keeps the
+  perturbation O(row) even for large activation matrices), amortizing one
+  dispatch over the whole run; (b) the per-iteration
   time is the **slope** between a run of n and a run of n/2 iterations, so
   any fixed per-call overhead cancels exactly. The median of three slope
   measurements rejects jitter spikes.
@@ -75,7 +77,17 @@ def _device_loop(fn: Callable) -> Callable:
             # for any |s| < ~1e37, so xc is bit-identical every iteration
             # (including zero entries, which an additive epsilon would
             # corrupt) — but s is dynamic, so XLA must still re-run fn.
-            xc = jnp.asarray(xc * (1.0 + s * 1e-45), xc.dtype)  # int x: exact
+            # Only the FIRST ROW is touched: the carried-buffer dependency
+            # already serializes iterations, and an O(row) update (in-place
+            # on the aliased while-carry) keeps the perturbation cost
+            # negligible even when x is a large activation matrix (a
+            # whole-array perturbation adds a read+write pass over x per
+            # iteration — the round-1 "bandwidth cliff" mechanism).
+            lead = (0,) * (xc.ndim - 1)
+            row = jax.lax.dynamic_slice(
+                xc, lead + (0,), (1,) * (xc.ndim - 1) + (xc.shape[-1],))
+            row = jnp.asarray(row * (1.0 + s * 1e-45), xc.dtype)  # int x: exact
+            xc = jax.lax.dynamic_update_slice(xc, row, lead + (0,))
             return i + 1, xc, s + jnp.asarray(y, jnp.float32).ravel()[0]
 
         return jax.lax.while_loop(cond, body, (jnp.int32(0), x, jnp.float32(0.0)))[2]
@@ -87,23 +99,24 @@ def time_device_loop(fn: Callable, x, *, aux=(), min_seconds: float = MIN_SECOND
                      max_runs: int = MAX_RUNS) -> TimingResult:
     """Calibrated on-device-loop slope timing of ``fn(x, *aux)`` (the default).
 
-    ``x`` must be SMALL relative to the traffic under test: the serializing
-    carry perturbs the whole of ``x`` every iteration, i.e. one extra
-    read+write elementwise pass over it. Passing the large array being
-    streamed as ``x`` halves the apparent bandwidth — this exact mistake
-    manufactured round 1's phantom "217 GB/s cliff at 256 MB" (root-caused
-    2026-08-17: the same DMAs run at ~750 GB/s when the array rides in
-    ``aux`` and ``x`` is a small seed). Large weight containers belong in
-    ``aux``, never in a closure (HLO-literal bloat) and never in ``x``.
+    The serializing carry perturbs only the FIRST ROW of ``x`` (in-place on
+    the aliased while-carry), so a large activation matrix may ride as the
+    carried input at O(row) overhead. Round 1 perturbed the WHOLE array —
+    one extra read+write pass per iteration — which manufactured the
+    phantom "217 GB/s cliff at 256 MB" (root-caused 2026-08-17; the same
+    DMAs run at ~750 GB/s without the full-array pass). Weight containers
+    still belong in ``aux``, never in a closure (HLO-literal bloat:
+    closure-captured arrays inline as constants that ship with every
+    remote compile and key the compile cache on the values).
     """
     import warnings
     nbytes = sum(getattr(a, "nbytes", 0) for a in jax.tree_util.tree_leaves(x))
-    if nbytes > 32 * 2**20:
+    if nbytes > 256 * 2**20:
         warnings.warn(
             f"time_device_loop: carried input is {nbytes/2**20:.0f} MB; the "
-            "serializing perturbation re-reads and re-writes it every "
-            "iteration, corrupting bandwidth measurements. Pass large "
-            "arrays via aux= and carry a small seed instead.",
+            "first-row perturbation is O(row), but if the while-carry fails "
+            "to alias in-place the copy costs a full pass — cross-check "
+            "against aux= placement (tools/membench.py methodology).",
             stacklevel=2)
     looped = _device_loop(fn)
     # Warm-up fetch: compiles, runs once, and forces transfer-path init.
