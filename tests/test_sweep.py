@@ -9,6 +9,7 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
 import sweep  # noqa: E402
+import sweep_sanitize  # noqa: E402
 
 
 def _args(**kw):
@@ -50,6 +51,27 @@ def test_bitnet_preset():
     assert len(grid) == 2 * 4 * 3
     assert (1, 4096, 4096, 2) in grid
     assert (512, 11008, 11008, 16) in grid
+
+
+def test_sanitize_scrubs_impossible_measurements():
+    def rec(m, **res):
+        return {"test_case": {"M": m, "K": 512, "N": 2048, "s": 4},
+                "results": {"X": dict(res)}}
+
+    records = [
+        rec(1, seconds=1e-5, roofline_fraction=0.8),       # sane
+        rec(16, seconds=6.25e-11, roofline_fraction=0.1),  # picosecond garbage
+        rec(64, seconds=1e-5, roofline_fraction=1.11),     # above HBM roofline
+        # documented skips/errors are NOT measurements; never scrubbed
+        {"test_case": {"M": 256, "K": 512, "N": 2048, "s": 4},
+         "results": {"X": {"error": "skipped: gather too big"}}},
+    ]
+    kept, scrubbed = sweep_sanitize.scan(records, min_seconds=1e-7,
+                                         max_roofline=1.05)
+    assert [r["test_case"]["M"] for r in kept] == [1, 256]
+    assert sorted(r["test_case"]["M"] for r, _ in scrubbed) == [16, 64]
+    reasons = {r["test_case"]["M"]: why for r, why in scrubbed}
+    assert "seconds" in reasons[16][0] and "roofline" in reasons[64][0]
 
 
 def test_sweep_cli_smoke(tmp_path):

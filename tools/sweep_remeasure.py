@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Re-measure selected kernels inside an existing sweep artifact, in place.
+
+Repair companion to ``tools/sweep.py --resume`` (which re-runs whole missing
+configs): this tool re-TIMES only the named kernels in records that already
+exist, preserving each record's gated ``correct``/``max_abs_err`` fields and
+recomputing ``speedup`` against the record's stored ``BaseTCSC`` seconds
+(the reference's baseline convention, ``main.cpp:257-263``).
+
+Why it exists: round-2 found the device-loop timer let XLA elide the (M, N)
+output write for XLA-formulation kernels (only a scalar of y was consumed —
+see ``bench/timing.py``), so every ``DenseMXU_*``/``BaseTCSC``-family number
+measured before the ``optimization_barrier`` fix is biased fast by up to the
+4*M*N output bytes. Pallas kernels are opaque custom calls and were never
+affected; only the XLA-path entries need repair:
+
+    python tools/sweep_remeasure.py bench_artifacts/canonical_sweep.json \
+        --kernels DenseMXU_bf16 --min-seconds 0.1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("artifact")
+    p.add_argument("--kernels", required=True,
+                   help="comma-separated kernel names to re-measure")
+    p.add_argument("--min-seconds", type=float, default=0.1)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from ternary_spgemm_tpu.bench import BenchConfig, run_config
+
+    targets = args.kernels.split(",")
+    with open(args.artifact) as f:
+        records = json.load(f)
+
+    todo = []
+    for rec in records:
+        present = [k for k in targets
+                   if isinstance(rec.get("results", {}).get(k), dict)
+                   and "error" not in rec["results"][k]]
+        if present:
+            todo.append((rec, present))
+    if args.limit:
+        todo = todo[:args.limit]
+    print(f"re-measuring {targets} in {len(todo)}/{len(records)} records",
+          flush=True)
+
+    t0 = time.time()
+    for i, (rec, present) in enumerate(todo):
+        tc = rec["test_case"]
+        cfg = BenchConfig(M=tc["M"], K=tc["K"], N=tc["N"], s=tc["s"],
+                          kernels=present, correctness=False,
+                          min_seconds=args.min_seconds)
+        print(f"[{i+1}/{len(todo)}] M={tc['M']} K={tc['K']} N={tc['N']} "
+              f"s={tc['s']} (elapsed {time.time()-t0:.0f}s)", flush=True)
+        base = rec["results"].get("BaseTCSC", {})
+        base_s = base.get("seconds") if isinstance(base, dict) else None
+        for r in run_config(cfg, verbose=True):
+            old = rec["results"][r.name]
+            if r.error:
+                print(f"  ! {r.name} failed ({r.error}); keeping old entry",
+                      flush=True)
+                continue
+            old.update({
+                "performance": r.gflops,
+                "total_input_size": r.total_input_bytes,
+                "operational_intensity": r.operational_intensity,
+                "effective_gflops": r.effective_gflops,
+                "nnz_per_s": r.nnz_per_s,
+                "roofline_fraction": r.roofline_fraction,
+                "seconds": r.seconds,
+                "speedup": (base_s / r.seconds) if base_s else old.get("speedup"),
+            })  # "correct"/"max_abs_err" stay from the original gated run
+        with open(args.artifact, "w") as f:  # checkpoint after every config
+            json.dump(records, f, indent=1)
+    print(f"done: {len(todo)} records repaired in {args.artifact}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.exit(main())
