@@ -161,8 +161,15 @@ def main(argv=None) -> int:
                 if why is not None:
                     rec["results"][kn] = {"error": why}
             records.append(rec)
-        with open(args.output, "w") as f:   # checkpoint after every config
+        # Checkpoint after every config — atomically (tmp + rename), so a
+        # concurrent --resume reader (or a kill mid-dump) never sees a torn
+        # file. A raced read of the non-atomic write is how the overnight
+        # canonical run silently lost 7 completed configs.
+        import os
+        tmp = args.output + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(records, f, indent=1)
+        os.replace(tmp, args.output)
     print(f"wrote {len(records)} records -> {args.output}")
     return 0
 

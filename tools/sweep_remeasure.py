@@ -85,8 +85,11 @@ def main(argv=None) -> int:
                 "seconds": r.seconds,
                 "speedup": (base_s / r.seconds) if base_s else old.get("speedup"),
             })  # "correct"/"max_abs_err" stay from the original gated run
-        with open(args.artifact, "w") as f:  # checkpoint after every config
+        # checkpoint after every config — atomic, same contract as sweep.py
+        tmp = args.artifact + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(records, f, indent=1)
+        os.replace(tmp, args.artifact)
     print(f"done: {len(todo)} records repaired in {args.artifact}")
     return 0
 
