@@ -21,10 +21,22 @@ from ternary_spgemm_tpu.models.train import (
     mse_loss,
     param_shardings,
 )
+from ternary_spgemm_tpu.models.transformer import (
+    BitTransformerBlock,
+    BitTransformerConfig,
+    BitTransformerLM,
+    ExportedTransformerBlock,
+    lm_loss,
+    lm_param_shardings,
+    make_lm_train_step,
+)
 
 __all__ = [
     "BitLinear", "TernaryMLP", "apply_exported", "export_layer",
     "ternary_quantize", "ternary_quantize_ste",
     "make_train_step", "make_sharded_train_step", "mse_loss", "param_shardings",
     "FlaxBitLinear", "FlaxTernaryMLP", "ExportedBitLinear", "ExportedMLP",
+    "BitTransformerBlock", "BitTransformerConfig", "BitTransformerLM",
+    "ExportedTransformerBlock", "lm_loss", "lm_param_shardings",
+    "make_lm_train_step",
 ]

@@ -1,0 +1,239 @@
+"""BitNet-b1.58-style ternary transformer: QAT blocks + exported inference.
+
+The reference targets "the BitNet-style ternary-LLM linear layer"
+(SURVEY.md §0, §6; ``readme.md:84-85`` frames the flop model around LLM
+serving shapes like K=N=4096/11008) but ships only the isolated SpMM. This
+module supplies the model family those shapes come from, in the LLaMA
+topology BitNet b1.58 keeps: RMSNorm → ternary QKV/O attention with rotary
+embeddings → RMSNorm → ternary SwiGLU FFN, residuals around both.
+
+Two regimes, matching :mod:`ternary_spgemm_tpu.models.bitlinear`:
+
+* **QAT** (:class:`BitTransformerLM`): every linear is a latent-f32
+  :class:`BitLinear` quantized through the straight-through estimator each
+  forward pass — trainable end-to-end with ``jax.grad``/optax.
+* **Exported inference** (:class:`ExportedTransformerBlock`): every linear is
+  frozen into a registered ternary container and runs through the SpMM kernel
+  registry (with the custom-VJP layers, so a frozen backbone still
+  backpropagates to its inputs). Attention softmax/rotary stay XLA —
+  elementwise chains fuse; the MXU work is the ternary projections.
+
+TPU notes: all shapes static; the causal mask is a compile-time constant;
+everything jits/shards under GSPMD. Head-count and d_ff are chosen
+column/row-parallel-friendly (:func:`lm_param_shardings` gives Megatron-style
+specs: QKV/gate/up split output features, O/down split input features, so one
+psum per attention and one per FFN rides ICI per block).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Type
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ternary_spgemm_tpu.formats.base import TernaryFormat
+from ternary_spgemm_tpu.models.bitlinear import BitLinear
+from ternary_spgemm_tpu.models.exported import ExportedBitLinear
+
+
+def rms_norm(x, scale, eps: float = 1e-6):
+    """RMSNorm (the BitNet/LLaMA norm; no mean subtraction, no bias)."""
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * scale
+
+
+def rotary_embed(x, *, base: float = 10000.0):
+    """Apply rotary position embeddings over the last axis of ``(..., T, D)``.
+
+    Standard RoPE with the half-split pairing; positions are implicit
+    ``0..T-1`` (static seq len — the table is a compile-time constant under
+    jit, which is exactly what the TPU wants: no dynamic gathers).
+    """
+    T, D = x.shape[-2], x.shape[-1]
+    half = D // 2
+    freqs = base ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = jnp.arange(T, dtype=jnp.float32)[:, None] * freqs[None, :]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+def causal_attend(n_heads: int, q, k, v):
+    """(B, T, d) multi-head causal attention with rotary q/k; the mask is a
+    compile-time tril constant (static T — no dynamic control flow under jit)."""
+    B, T, d = q.shape
+    hd = d // n_heads
+    split = lambda z: z.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3)
+    q, k, v = split(q), split(k), split(v)
+    q, k = rotary_embed(q), rotary_embed(k)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (hd ** 0.5)
+    mask = jnp.tril(jnp.ones((T, T), bool))
+    logits = jnp.where(mask, logits, -jnp.inf)
+    out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), v)
+    return out.transpose(0, 2, 1, 3).reshape(B, T, d)
+
+
+@dataclasses.dataclass(frozen=True)
+class BitTransformerConfig:
+    vocab: int = 256
+    d_model: int = 128
+    n_heads: int = 4
+    d_ff: int = 384
+    n_layers: int = 2
+
+    def __post_init__(self):
+        if self.d_model % self.n_heads:
+            raise ValueError("d_model must divide into n_heads")
+        if (self.d_model // self.n_heads) % 2:
+            raise ValueError("head_dim must be even (rotary half-split)")
+
+
+class BitTransformerBlock:
+    """One pre-norm block: ternary attention + ternary SwiGLU FFN.
+
+    Linear layout (all :class:`BitLinear`, biasless ternary projections with
+    the absmean scale): ``wq/wk/wv`` (d→d), ``wo`` (d→d), ``w_gate/w_up``
+    (d→ff), ``w_down`` (ff→d). Params also carry the two RMSNorm scales.
+    """
+
+    LINEARS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+    def __init__(self, cfg: BitTransformerConfig):
+        self.cfg = cfg
+        d, ff = cfg.d_model, cfg.d_ff
+        self._layers = {
+            "wq": BitLinear(d, d), "wk": BitLinear(d, d),
+            "wv": BitLinear(d, d), "wo": BitLinear(d, d),
+            "w_gate": BitLinear(d, ff), "w_up": BitLinear(d, ff),
+            "w_down": BitLinear(ff, d),
+        }
+
+    def init(self, key) -> dict:
+        keys = jax.random.split(key, len(self.LINEARS))
+        params = {n: self._layers[n].init(k)
+                  for n, k in zip(self.LINEARS, keys)}
+        params["norm_attn"] = jnp.ones((self.cfg.d_model,), jnp.float32)
+        params["norm_ffn"] = jnp.ones((self.cfg.d_model,), jnp.float32)
+        return params
+
+    def apply(self, params: dict, x):
+        lin = lambda n, z: self._layers[n].apply(params[n], z)
+        attend = lambda q, k, v: causal_attend(self.cfg.n_heads, q, k, v)
+        h = rms_norm(x, params["norm_attn"])
+        attn = lin("wo", attend(lin("wq", h), lin("wk", h), lin("wv", h)))
+        x = x + attn
+        h = rms_norm(x, params["norm_ffn"])
+        ffn = lin("w_down", jax.nn.silu(lin("w_gate", h)) * lin("w_up", h))
+        return x + ffn
+
+
+class BitTransformerLM:
+    """Ternary-backbone causal LM: f32 embeddings (BitNet keeps embeddings
+    and head full-precision), ternary blocks, tied output head."""
+
+    def __init__(self, cfg: BitTransformerConfig):
+        self.cfg = cfg
+        self.blocks = [BitTransformerBlock(cfg) for _ in range(cfg.n_layers)]
+
+    def init(self, key) -> dict:
+        ke, *kb = jax.random.split(key, self.cfg.n_layers + 1)
+        return {
+            "embed": jax.random.normal(
+                ke, (self.cfg.vocab, self.cfg.d_model), jnp.float32)
+            * self.cfg.d_model ** -0.5,
+            "blocks": [b.init(k) for b, k in zip(self.blocks, kb)],
+            "norm_out": jnp.ones((self.cfg.d_model,), jnp.float32),
+        }
+
+    def apply(self, params: dict, tokens):
+        """``tokens (B, T) int32 -> logits (B, T, vocab)``."""
+        x = params["embed"][tokens]
+        for block, p in zip(self.blocks, params["blocks"]):
+            x = block.apply(p, x)
+        x = rms_norm(x, params["norm_out"])
+        return jnp.einsum("btd,vd->btv", x, params["embed"])
+
+
+def lm_loss(model: BitTransformerLM, params, tokens):
+    """Next-token cross-entropy over ``tokens (B, T)``."""
+    logits = model.apply(params, tokens)[:, :-1]
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, targets[..., None], axis=-1))
+
+
+def make_lm_train_step(model: BitTransformerLM, optimizer):
+    """Jittable ``(params, opt_state, tokens) -> (params, opt_state, loss)``."""
+
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(
+            lambda p: lm_loss(model, p, tokens))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def lm_param_shardings(model: BitTransformerLM, mesh: Mesh,
+                       axis: str = "model"):
+    """Megatron-style TP specs: QKV/gate/up column-parallel (output features
+    on ``axis``), O/down row-parallel (input features on ``axis``), norms and
+    embeddings replicated — one psum per attention, one per FFN."""
+    col = {"w": P(None, axis), "b": P(axis)}
+    row = {"w": P(axis, None), "b": P()}
+    block = {"wq": col, "wk": col, "wv": col, "wo": row,
+             "w_gate": col, "w_up": col, "w_down": row,
+             "norm_attn": P(), "norm_ffn": P()}
+    spec = {"embed": P(), "norm_out": P(),
+            "blocks": [block] * model.cfg.n_layers}
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), spec,
+        is_leaf=lambda s: isinstance(s, P))
+
+
+class ExportedTransformerBlock:
+    """A trained block frozen into ternary containers, run on the kernel
+    registry. A registered pytree: pass it THROUGH jit as an argument
+    (``jax.jit(lambda blk, x: blk(x))``) so containers stay literal-free
+    (docs/perf.md §10); attention math stays XLA and fuses around the
+    ternary projections."""
+
+    def __init__(self, cfg: BitTransformerConfig, linears: dict,
+                 norm_attn, norm_ffn):
+        self.cfg = cfg
+        self.linears = dict(linears)
+        self.norm_attn = jnp.asarray(norm_attn, jnp.float32)
+        self.norm_ffn = jnp.asarray(norm_ffn, jnp.float32)
+
+    @classmethod
+    def from_params(cls, cfg: BitTransformerConfig, params: dict,
+                    format_cls: Type[TernaryFormat], *,
+                    kernel: Optional[str] = None, **fmt_kwargs):
+        linears = {
+            n: ExportedBitLinear.from_params(params[n], format_cls,
+                                             kernel=kernel, **fmt_kwargs)
+            for n in BitTransformerBlock.LINEARS}
+        return cls(cfg, linears, params["norm_attn"], params["norm_ffn"])
+
+    def __call__(self, x):
+        B, T, d = x.shape
+        flat = lambda n, z: self.linears[n](z.reshape(B * T, -1)).reshape(
+            B, T, -1)
+        attend = lambda q, k, v: causal_attend(self.cfg.n_heads, q, k, v)
+        h = rms_norm(x, self.norm_attn)
+        attn = flat("wo", attend(flat("wq", h), flat("wk", h), flat("wv", h)))
+        x = x + attn
+        h = rms_norm(x, self.norm_ffn)
+        ffn = flat("w_down", jax.nn.silu(flat("w_gate", h)) * flat("w_up", h))
+        return x + ffn
+
+
+jax.tree_util.register_pytree_node(
+    ExportedTransformerBlock,
+    lambda b: ((b.linears, b.norm_attn, b.norm_ffn), b.cfg),
+    lambda cfg, ch: ExportedTransformerBlock(cfg, ch[0], ch[1], ch[2]))
