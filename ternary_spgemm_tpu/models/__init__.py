@@ -21,6 +21,12 @@ from ternary_spgemm_tpu.models.train import (
     mse_loss,
     param_shardings,
 )
+from ternary_spgemm_tpu.models.generate import (
+    ExportedTransformerLM,
+    generate,
+    init_cache,
+    lm_decode_step,
+)
 from ternary_spgemm_tpu.models.transformer import (
     BitTransformerBlock,
     BitTransformerConfig,
@@ -39,4 +45,5 @@ __all__ = [
     "BitTransformerBlock", "BitTransformerConfig", "BitTransformerLM",
     "ExportedTransformerBlock", "lm_loss", "lm_param_shardings",
     "make_lm_train_step",
+    "ExportedTransformerLM", "generate", "init_cache", "lm_decode_step",
 ]

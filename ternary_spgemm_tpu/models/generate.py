@@ -1,0 +1,190 @@
+"""KV-cached autoregressive decoding for the ternary transformer.
+
+The serving loop behind the reference's small-M shapes: token-by-token
+decode is exactly the M=1..32, K=N in {4096, 11008} SpMM regime the kernel
+benchmarks target (BASELINE.md north star; ``readme.md:84-85`` flop model).
+This module runs that loop end-to-end:
+
+* :func:`init_cache` — static-shape (B, H, max_T, hd) K/V cache per block
+  (static shapes: the TPU compiles ONE decode step; position is a traced
+  scalar into ``dynamic_update_slice``, never a shape);
+* decode steps for both backends — the QAT :class:`BitTransformerLM` and
+  :class:`ExportedTransformerLM` (every projection a frozen ternary
+  container running on the SpMM kernel registry);
+* :func:`generate` — greedy decoding under ``lax.scan`` (one compile for the
+  whole loop, no per-token retrace).
+
+Incremental attention reproduces the full causal forward exactly: rotary at
+the absolute position, logits against the cache, mask ``arange(max_T) <= pos``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Type
+
+import jax
+import jax.numpy as jnp
+
+from ternary_spgemm_tpu.formats.base import TernaryFormat
+from ternary_spgemm_tpu.models.bitlinear import BitLinear  # noqa: F401 (doc)
+from ternary_spgemm_tpu.models.exported import ExportedBitLinear
+from ternary_spgemm_tpu.models.transformer import (
+    BitTransformerBlock,
+    BitTransformerConfig,
+    BitTransformerLM,
+    rms_norm,
+)
+
+
+def _rotary_at(x, pos, base: float = 10000.0):
+    """Rotary embedding of ``x (B, H, 1, hd)`` at absolute position ``pos``
+    (a traced scalar — same table row :func:`transformer.rotary_embed` uses
+    statically at train time)."""
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs = base ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = pos.astype(jnp.float32) * freqs
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+def init_cache(cfg: BitTransformerConfig, batch: int, max_t: int):
+    """Zeroed per-block K/V caches: a list of ``{"k","v"}: (B, H, max_T, hd)``."""
+    hd = cfg.d_model // cfg.n_heads
+    z = jnp.zeros((batch, cfg.n_heads, max_t, hd), jnp.float32)
+    return [{"k": z, "v": z} for _ in range(cfg.n_layers)]
+
+
+def _cached_attend(n_heads: int, q, k_new, v_new, cache, pos):
+    """One-token attention against the cache; returns (out (B,1,d), cache')."""
+    B, _, d = q.shape
+    hd = d // n_heads
+    split = lambda z: z.reshape(B, 1, n_heads, hd).transpose(0, 2, 1, 3)
+    q, k_new, v_new = split(q), split(k_new), split(v_new)
+    q, k_new = _rotary_at(q, pos), _rotary_at(k_new, pos)
+    ck = jax.lax.dynamic_update_slice(cache["k"], k_new, (0, 0, pos, 0))
+    cv = jax.lax.dynamic_update_slice(cache["v"], v_new, (0, 0, pos, 0))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, ck) / (hd ** 0.5)
+    mask = jnp.arange(ck.shape[2]) <= pos
+    logits = jnp.where(mask[None, None, None, :], logits, -jnp.inf)
+    out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), cv)
+    return out.transpose(0, 2, 1, 3).reshape(B, 1, d), {"k": ck, "v": cv}
+
+
+def _block_decode(n_heads: int, lin, norm_attn, norm_ffn, x, cache, pos):
+    """One block, one token. ``lin(name, z)`` is the backend's projection."""
+    h = rms_norm(x, norm_attn)
+    attn, cache = _cached_attend(
+        n_heads, lin("wq", h), lin("wk", h), lin("wv", h), cache, pos)
+    x = x + lin("wo", attn)
+    h = rms_norm(x, norm_ffn)
+    x = x + lin("w_down", jax.nn.silu(lin("w_gate", h)) * lin("w_up", h))
+    return x, cache
+
+
+def lm_decode_step(model: BitTransformerLM, params, tokens, caches, pos):
+    """QAT backend: ``tokens (B,) int32 -> (logits (B, vocab), caches')``."""
+    x = params["embed"][tokens][:, None, :]
+    new_caches = []
+    for block, p, cache in zip(model.blocks, params["blocks"], caches):
+        lin = (lambda p_: lambda n, z: block._layers[n].apply(p_[n], z))(p)
+        x, cache = _block_decode(model.cfg.n_heads, lin, p["norm_attn"],
+                                 p["norm_ffn"], x, cache, pos)
+        new_caches.append(cache)
+    x = rms_norm(x, params["norm_out"])
+    return jnp.einsum("btd,vd->btv", x, params["embed"])[:, 0], new_caches
+
+
+class ExportedTransformerLM:
+    """A trained BitTransformerLM frozen layer-by-layer into ternary
+    containers (registered pytree — pass THROUGH jit as an argument so the
+    containers stay literal-free, docs/perf.md §10). Supports the full
+    forward and the KV-cached decode step; every projection runs on the
+    SpMM kernel registry."""
+
+    def __init__(self, cfg: BitTransformerConfig, blocks, embed, norm_out):
+        from ternary_spgemm_tpu.models.transformer import (
+            ExportedTransformerBlock)
+        self.cfg = cfg
+        self.blocks = list(blocks)
+        assert all(isinstance(b, ExportedTransformerBlock) for b in self.blocks)
+        self.embed = jnp.asarray(embed, jnp.float32)
+        self.norm_out = jnp.asarray(norm_out, jnp.float32)
+
+    @classmethod
+    def from_params(cls, model: BitTransformerLM, params: dict,
+                    format_cls: Type[TernaryFormat], *,
+                    kernel: Optional[str] = None, **fmt_kwargs):
+        from ternary_spgemm_tpu.models.transformer import (
+            ExportedTransformerBlock)
+        blocks = [ExportedTransformerBlock.from_params(
+            model.cfg, p, format_cls, kernel=kernel, **fmt_kwargs)
+            for p in params["blocks"]]
+        return cls(model.cfg, blocks, params["embed"], params["norm_out"])
+
+    def __call__(self, tokens):
+        """Full causal forward: ``tokens (B, T) -> logits (B, T, vocab)``."""
+        x = self.embed[tokens]
+        for block in self.blocks:
+            x = block(x)
+        x = rms_norm(x, self.norm_out)
+        return jnp.einsum("btd,vd->btv", x, self.embed)
+
+    def decode_step(self, tokens, caches, pos):
+        """``tokens (B,) -> (logits (B, vocab), caches')`` via the caches."""
+        B = tokens.shape[0]
+        x = self.embed[tokens][:, None, :]
+        new_caches = []
+        for block, cache in zip(self.blocks, caches):
+            lin = (lambda b_: lambda n, z: b_.linears[n](
+                z.reshape(B, -1))[:, None, :])(block)
+            x, cache = _block_decode(self.cfg.n_heads, lin, block.norm_attn,
+                                     block.norm_ffn, x, cache, pos)
+            new_caches.append(cache)
+        x = rms_norm(x, self.norm_out)
+        return jnp.einsum("btd,vd->btv", x, self.embed)[:, 0], new_caches
+
+
+def _unflatten_lm(aux, children):
+    obj = object.__new__(ExportedTransformerLM)
+    obj.cfg = aux
+    obj.blocks, obj.embed, obj.norm_out = list(children[0]), children[1], children[2]
+    return obj
+
+
+jax.tree_util.register_pytree_node(
+    ExportedTransformerLM,
+    lambda m: ((tuple(m.blocks), m.embed, m.norm_out), m.cfg),
+    _unflatten_lm)
+
+
+def generate(lm, prompt, n_new: int, *, params=None, max_t: Optional[int] = None):
+    """Greedy decode ``n_new`` tokens after ``prompt (B, T0) int32``.
+
+    ``lm`` is a :class:`BitTransformerLM` (pass its ``params``) or an
+    :class:`ExportedTransformerLM`. Prefill and decode both run the cached
+    step under ``lax.scan`` — one compile, static cache shapes.
+    Returns ``(B, T0 + n_new)`` tokens.
+    """
+    if isinstance(lm, BitTransformerLM):
+        cfg, step = lm.cfg, (lambda t, c, p: lm_decode_step(lm, params, t, c, p))
+    else:
+        cfg, step = lm.cfg, lm.decode_step
+    B, T0 = prompt.shape
+    max_t = max_t or (T0 + n_new)
+    caches = init_cache(cfg, B, max_t)
+
+    def scan_fn(carry, t):
+        caches, cur = carry
+        # feed the prompt token at position t while t < T0, else the
+        # previously generated token; emit greedy argmax for position t+1
+        tok = jnp.where(t < T0, prompt[:, jnp.minimum(t, T0 - 1)], cur)
+        logits, caches = step(tok, caches, t)
+        nxt = jnp.argmax(logits, axis=-1).astype(prompt.dtype)
+        return (caches, nxt), nxt
+
+    cur0 = jnp.zeros((B,), prompt.dtype)
+    _, gen = jax.lax.scan(scan_fn, (caches, cur0), jnp.arange(T0 + n_new - 1))
+    # gen[t] predicts position t+1; positions T0..T0+n_new-1 are gen[T0-1:]
+    return jnp.concatenate([prompt, gen[T0 - 1:].T.astype(prompt.dtype)], axis=1)

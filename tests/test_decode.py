@@ -1,0 +1,86 @@
+"""KV-cached decoding tests: incremental == full causal forward, QAT ==
+exported-container backend, scan-jitted greedy generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ternary_spgemm_tpu.formats import DenseTernary
+from ternary_spgemm_tpu.models import BitTransformerConfig, BitTransformerLM
+from ternary_spgemm_tpu.models.generate import (
+    ExportedTransformerLM,
+    generate,
+    init_cache,
+    lm_decode_step,
+)
+
+CFG = BitTransformerConfig(vocab=48, d_model=32, n_heads=2, d_ff=64,
+                           n_layers=2)
+
+
+def _setup(seed=0):
+    model = BitTransformerLM(CFG)
+    params = model.init(jax.random.key(seed))
+    toks = jax.random.randint(jax.random.key(seed + 1), (2, 10), 0, CFG.vocab)
+    return model, params, toks
+
+
+def test_decode_matches_full_forward():
+    """Feeding tokens one-by-one through the cache reproduces the full
+    causal forward's logits at every position."""
+    model, params, toks = _setup()
+    want = model.apply(params, toks)          # (B, T, vocab)
+    caches = init_cache(CFG, toks.shape[0], toks.shape[1])
+    for t in range(toks.shape[1]):
+        logits, caches = lm_decode_step(model, params, toks[:, t], caches,
+                                        jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(want[:, t]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_exported_decode_matches_qat_decode():
+    """The exported-container backend's decode step tracks the QAT one."""
+    model, params, toks = _setup(seed=2)
+    exported = ExportedTransformerLM.from_params(model, params, DenseTernary)
+    want = model.apply(params, toks)
+    caches = init_cache(CFG, toks.shape[0], toks.shape[1])
+    for t in range(toks.shape[1]):
+        logits, caches = exported.decode_step(toks[:, t], caches,
+                                              jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(want[:, t]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_exported_full_forward_matches_qat():
+    model, params, toks = _setup(seed=3)
+    exported = ExportedTransformerLM.from_params(model, params, DenseTernary)
+    got = jax.jit(lambda lm, t: lm(t))(exported, toks)   # pytree THROUGH jit
+    np.testing.assert_allclose(np.asarray(got), np.asarray(model.apply(params, toks)),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_generate_greedy_consistency():
+    """generate() continues the prompt with exactly the tokens greedy
+    re-scoring of the grown sequence would pick (teacher-forcing check)."""
+    model, params, toks = _setup(seed=4)
+    prompt = toks[:, :4]
+    out = generate(model, prompt, n_new=4, params=params)
+    assert out.shape == (2, 8)
+    np.testing.assert_array_equal(np.asarray(out[:, :4]), np.asarray(prompt))
+    # re-score: each generated token must be the argmax of the full forward
+    # at its position given everything before it
+    full = model.apply(params, out)
+    for t in range(4, 8):
+        expect = jnp.argmax(full[:, t - 1], axis=-1)
+        np.testing.assert_array_equal(np.asarray(out[:, t]), np.asarray(expect))
+
+
+def test_generate_exported_matches_qat():
+    model, params, toks = _setup(seed=5)
+    exported = ExportedTransformerLM.from_params(model, params, DenseTernary)
+    prompt = toks[:, :3]
+    a = generate(model, prompt, n_new=5, params=params)
+    b = generate(exported, prompt, n_new=5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
