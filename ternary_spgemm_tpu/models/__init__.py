@@ -9,6 +9,7 @@ from ternary_spgemm_tpu.models.bitlinear import (
     BitLinear,
     TernaryMLP,
     apply_exported,
+    apply_exported_a8,
     export_layer,
     ternary_quantize,
     ternary_quantize_ste,
@@ -38,7 +39,7 @@ from ternary_spgemm_tpu.models.transformer import (
 )
 
 __all__ = [
-    "BitLinear", "TernaryMLP", "apply_exported", "export_layer",
+    "BitLinear", "TernaryMLP", "apply_exported", "apply_exported_a8", "export_layer",
     "ternary_quantize", "ternary_quantize_ste",
     "make_train_step", "make_sharded_train_step", "mse_loss", "param_shardings",
     "FlaxBitLinear", "FlaxTernaryMLP", "ExportedBitLinear", "ExportedMLP",

@@ -128,3 +128,48 @@ def apply_exported(x, fmt: TernaryFormat, gamma: float, bias, alpha=None, *,
     b_scaled = jnp.asarray(bias, jnp.float32) / gamma
     y = ternary_spgemm(x, fmt, b_scaled, alpha, kernel=kernel)
     return y * gamma
+
+
+def apply_exported_a8(x, fmt: TernaryFormat, gamma: float, bias, alpha=None, *,
+                      kernel: Optional[str] = None):
+    """BitNet W1.58-A8 serving path: per-token absmax int8 activation
+    quantization over an exported container.
+
+    ``xq = round(127 x / absmax(x))`` per row (the int8-native kernels round
+    and clamp internally; the row scale rides outside), then
+    ``y = (xq @ Wq) * (absmax/127) * gamma + b``. The ONLY approximation is
+    the activation rounding — the deployment regime of BitNet b1.58
+    (SURVEY.md §6; measured regime study docs/perf.md §11). The epilogue
+    (bias + optional PReLU) runs outside the kernel because the per-row
+    scale cannot fold into a per-column bias; XLA fuses it anyway.
+
+    ``kernel`` defaults to the backend-preferred registered kernel with the
+    int8-native activation domain (``x_absmax == 127``) for ``type(fmt)``.
+    """
+    from ternary_spgemm_tpu.ops.api import all_kernels, get_kernel
+
+    if kernel is not None:
+        spec = get_kernel(kernel)
+        if spec.x_absmax != 127:
+            raise ValueError(
+                f"apply_exported_a8 needs an int8-native (_x8) kernel; "
+                f"{kernel!r} has x_absmax={spec.x_absmax}")
+    else:
+        cands = [s for s in all_kernels().values()
+                 if isinstance(fmt, s.format_cls) and s.x_absmax == 127]
+        if not cands:
+            raise TypeError(
+                f"no int8-native (_x8) kernel registered for "
+                f"{type(fmt).__name__}; export into TiledBitplane, "
+                f"TiledDenseTernary, or DenseTernary")
+        import jax
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        spec = min(cands, key=lambda s: s.name.startswith("Pallas") != on_tpu)
+
+    x = jnp.asarray(x, jnp.float32)
+    s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0 + 1e-12
+    zeros = jnp.zeros((fmt.N,), jnp.float32)
+    y = spec(x / s, fmt, zeros) * (s * gamma) + jnp.asarray(bias, jnp.float32)
+    if alpha is not None:
+        y = jnp.where(y > 0, y, jnp.asarray(alpha, jnp.float32)[None, :] * y)
+    return y

@@ -228,3 +228,40 @@ def test_sharded_train_step_runs():
     # params keep their shardings through the step
     spec0 = params2[0]["w"].sharding.spec
     assert spec0 == params[0]["w"].sharding.spec
+
+
+def test_apply_exported_a8_error_bounded():
+    """W1.58-A8 path: the only approximation is per-token activation
+    rounding, so |y - y_exact| <= gamma * (s_row/2) * max_col_nnz."""
+    from ternary_spgemm_tpu.formats import generate_ternary
+    from ternary_spgemm_tpu.models import apply_exported, apply_exported_a8
+
+    rng = np.random.default_rng(0)
+    K, N, M = 128, 64, 8
+    W = generate_ternary(K, N, 4, seed=1)
+    fmt = DenseTernary.from_dense(W)
+    gamma = 0.37
+    bias = rng.normal(size=N).astype(np.float32)
+    alpha = np.full(N, 0.1, np.float32)
+    x = rng.normal(size=(M, K)).astype(np.float32) * 3.0
+
+    exact = apply_exported(x, fmt, gamma, bias, alpha)
+    a8 = apply_exported_a8(x, fmt, gamma, bias, alpha)
+
+    s_row = np.abs(x).max(axis=1, keepdims=True) / 127.0
+    col_nnz = (np.asarray(W) != 0).sum(axis=0).max()
+    bound = gamma * (s_row / 2) * col_nnz + 1e-4
+    err = np.abs(np.asarray(a8) - np.asarray(exact))
+    assert (err <= bound).all(), (err.max(), bound.max())
+    # and it is genuinely quantized (not silently exact-pathed)
+    assert err.max() > 0
+
+
+def test_apply_exported_a8_rejects_wide_domain_kernel():
+    from ternary_spgemm_tpu.models import apply_exported_a8
+
+    W = np.zeros((16, 8), np.int8)
+    fmt = DenseTernary.from_dense(W)
+    with pytest.raises(ValueError, match="int8-native"):
+        apply_exported_a8(np.ones((2, 16), np.float32), fmt, 1.0,
+                          np.zeros(8, np.float32), kernel="DenseMXU")
