@@ -14,6 +14,11 @@ from ternary_spgemm_tpu.parallel.sharding import (
     shard_container,
     spec_tree,
 )
+from ternary_spgemm_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipeline_lm_apply,
+    stack_stages,
+)
 from ternary_spgemm_tpu.parallel.spgemm import (
     column_sharded_spgemm,
     overlapped_gather_spgemm,
@@ -24,4 +29,5 @@ __all__ = [
     "SHARDABLE_FORMATS", "make_mesh", "shard_container", "spec_tree",
     "column_leaf_specs", "row_leaf_specs", "localize",
     "column_sharded_spgemm", "row_sharded_spgemm", "overlapped_gather_spgemm",
+    "pipeline_apply", "pipeline_lm_apply", "stack_stages",
 ]
