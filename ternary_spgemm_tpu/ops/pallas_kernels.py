@@ -1100,6 +1100,69 @@ def pallas_tiled_bitplane_x8_kernel(X, fmt: TiledBitplane, bias, alpha=None):
     return out[:M, :fmt.N]
 
 
+def _tiled_bitplane_b16_kernel(x_ref, p_ref, b_ref, al_ref, o_ref, acc_ref, *,
+                               tkb: int, has_alpha: bool):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _decode_bitplanes_merged(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
+    acc_ref[:] += jnp.dot(x_ref[:], w.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = _epilogue(acc_ref[:], b_ref, al_ref, has_alpha)
+
+
+@register_kernel(
+    "PallasTiledBitplane_bf16", TiledBitplane,
+    description="split-sign bitplanes (2 bits/weight) decoded to bf16 "
+                "in-register, ONE full-rate bf16 MXU dot per K-step (no "
+                "int8-split stacking, no wsum correction): the f32-domain "
+                "large-M path — DenseMXU_bf16 compute rate at 1/8 the "
+                "weight traffic (exact for integer activations |x|<=256; "
+                "bf16 rounding outside)",
+    reference="readme.md:108-111 roadmap codec; activation domain "
+              "perf.cpp:301 (bf16 integer-exact window)",
+    x_absmax=256)
+def pallas_tiled_bitplane_bf16_kernel(X, fmt: TiledBitplane, bias, alpha=None):
+    M = X.shape[0]
+    tkb, TN = fmt.tkb, fmt.tile_n
+    B = 8 * tkb
+    nb, gn = fmt.plane.shape[0], fmt.plane.shape[1]
+    TM, TNs, split = _choose_tiles(M, fmt.K, fmt.N, TN, cell_bytes=8,
+                                   x_mult=2, w_bits=2)
+    Mp = round_up(M, TM)
+    xb = jnp.pad(jnp.asarray(X, jnp.bfloat16),
+                 ((0, Mp - M), (0, nb * B - X.shape[1])))
+    bp = _row_vec(bias, TN)[:, :gn * TN]
+    ap = _row_vec(alpha if alpha is not None else np.zeros(fmt.N, np.float32),
+                  TN)[:, :gn * TN]
+    out = pl.pallas_call(
+        functools.partial(_tiled_bitplane_b16_kernel, tkb=tkb,
+                          has_alpha=alpha is not None),
+        grid=(Mp // TM, gn * split, nb),
+        in_specs=[
+            pl.BlockSpec((TM, B), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * tkb, TNs),
+                         lambda i, j, k: (k, j // split, 0, j % split),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TNs), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TM, TNs), jnp.float32)],
+        interpret=_interpret(),
+    )(xb, jnp.asarray(fmt.plane), bp, ap)
+    return out[:M, :fmt.N]
+
+
 # ---------------------------------------------------------------------------
 # Bit-deposit ELL kernel (PallasEllDeposit_i8) — the round-2 true-sparse
 # path. Index storage (1 byte/nonzero slot, scales with 1/s) but MXU-dense
