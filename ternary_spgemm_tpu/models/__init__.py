@@ -17,10 +17,16 @@ from ternary_spgemm_tpu.models.bitlinear import (
 from ternary_spgemm_tpu.models.exported import ExportedBitLinear, ExportedMLP
 from ternary_spgemm_tpu.models.flax_module import FlaxBitLinear, FlaxTernaryMLP
 from ternary_spgemm_tpu.models.train import (
+    make_sharded_lm_train_step,
     make_sharded_train_step,
     make_train_step,
     mse_loss,
     param_shardings,
+)
+from ternary_spgemm_tpu.models.moe import (
+    BitMoE,
+    BitMoEConfig,
+    moe_param_shardings,
 )
 from ternary_spgemm_tpu.models.generate import (
     ExportedTransformerLM,
@@ -41,10 +47,12 @@ from ternary_spgemm_tpu.models.transformer import (
 __all__ = [
     "BitLinear", "TernaryMLP", "apply_exported", "apply_exported_a8", "export_layer",
     "ternary_quantize", "ternary_quantize_ste",
-    "make_train_step", "make_sharded_train_step", "mse_loss", "param_shardings",
+    "make_train_step", "make_sharded_train_step", "make_sharded_lm_train_step",
+    "mse_loss", "param_shardings",
     "FlaxBitLinear", "FlaxTernaryMLP", "ExportedBitLinear", "ExportedMLP",
     "BitTransformerBlock", "BitTransformerConfig", "BitTransformerLM",
     "ExportedTransformerBlock", "lm_loss", "lm_param_shardings",
     "make_lm_train_step",
     "ExportedTransformerLM", "generate", "init_cache", "lm_decode_step",
+    "BitMoE", "BitMoEConfig", "moe_param_shardings",
 ]

@@ -53,6 +53,55 @@ def param_shardings(model: TernaryMLP, mesh: Mesh, axis: str = "model"):
         is_leaf=lambda s: isinstance(s, P))
 
 
+def make_sharded_lm_train_step(model, optimizer, mesh: Mesh, *,
+                               data_axis: str = "data",
+                               model_axis: str = "model",
+                               sequence_parallel: bool = False):
+    """Compile the transformer-LM train step SPMD over a (data × model) mesh.
+
+    Batch rides ``data_axis``; params follow
+    :func:`~ternary_spgemm_tpu.models.transformer.lm_param_shardings`
+    (Megatron TP + expert parallelism over ``model_axis`` for MoE configs).
+    With ``sequence_parallel=True`` the activations between blocks are
+    constrained to ``P(data, model, None)`` — the sequence dimension shards
+    over the TP axis, so norms/residuals compute T-sharded and GSPMD emits
+    the all-gather/reduce-scatter pair of Megatron sequence parallelism
+    instead of keeping full activations replicated per TP rank.
+
+    Returns ``(jitted_step, place)``; ``place(params, opt_state, tokens)``
+    lays everything out.
+    """
+    from ternary_spgemm_tpu.models.transformer import (
+        lm_param_shardings, make_lm_train_step)
+
+    pshard = lm_param_shardings(model, mesh, model_axis)
+    tshard = NamedSharding(mesh, P(data_axis, None))
+    constrain = None
+    if sequence_parallel:
+        act = NamedSharding(mesh, P(data_axis, model_axis, None))
+        constrain = lambda z: jax.lax.with_sharding_constraint(z, act)
+    jitted = jax.jit(make_lm_train_step(model, optimizer,
+                                        constrain=constrain))
+    ptree = jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda s: 0, pshard))
+
+    def _mirrors_params(sub) -> bool:
+        try:
+            return jax.tree_util.tree_structure(sub) == ptree
+        except Exception:
+            return False
+
+    def place(params, opt_state, tokens):
+        params = jax.device_put(params, pshard)
+        opt_state = jax.tree_util.tree_map(
+            lambda sub: (jax.device_put(sub, pshard)
+                         if _mirrors_params(sub) else sub),
+            opt_state, is_leaf=_mirrors_params)
+        return params, opt_state, jax.device_put(tokens, tshard)
+
+    return jitted, place
+
+
 def make_sharded_train_step(model: TernaryMLP,
                             optimizer: optax.GradientTransformation,
                             mesh: Mesh, *, data_axis: str = "data",

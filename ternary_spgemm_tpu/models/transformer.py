@@ -84,6 +84,11 @@ class BitTransformerConfig:
     n_heads: int = 4
     d_ff: int = 384
     n_layers: int = 2
+    # MoE FFN (expert parallelism): 0 = dense SwiGLU FFN, >0 = that many
+    # ternary experts per block routed top-``moe_top_k`` (models/moe.py)
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 2.0
 
     def __post_init__(self):
         if self.d_model % self.n_heads:
@@ -101,6 +106,7 @@ class BitTransformerBlock:
     """
 
     LINEARS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+    ATTN_LINEARS = ("wq", "wk", "wv", "wo")
 
     def __init__(self, cfg: BitTransformerConfig):
         self.cfg = cfg
@@ -108,27 +114,50 @@ class BitTransformerBlock:
         self._layers = {
             "wq": BitLinear(d, d), "wk": BitLinear(d, d),
             "wv": BitLinear(d, d), "wo": BitLinear(d, d),
-            "w_gate": BitLinear(d, ff), "w_up": BitLinear(d, ff),
-            "w_down": BitLinear(ff, d),
         }
+        if cfg.moe_experts:
+            from ternary_spgemm_tpu.models.moe import BitMoE, BitMoEConfig
+            self.moe = BitMoE(BitMoEConfig(
+                d, ff, cfg.moe_experts, top_k=cfg.moe_top_k,
+                capacity_factor=cfg.moe_capacity_factor))
+            self.linear_names = self.ATTN_LINEARS
+        else:
+            self.moe = None
+            self._layers.update({
+                "w_gate": BitLinear(d, ff), "w_up": BitLinear(d, ff),
+                "w_down": BitLinear(ff, d),
+            })
+            self.linear_names = self.LINEARS
 
     def init(self, key) -> dict:
-        keys = jax.random.split(key, len(self.LINEARS))
+        km, key = jax.random.split(key)
+        keys = jax.random.split(key, len(self.linear_names))
         params = {n: self._layers[n].init(k)
-                  for n, k in zip(self.LINEARS, keys)}
+                  for n, k in zip(self.linear_names, keys)}
+        if self.moe is not None:
+            params["moe"] = self.moe.init(km)
         params["norm_attn"] = jnp.ones((self.cfg.d_model,), jnp.float32)
         params["norm_ffn"] = jnp.ones((self.cfg.d_model,), jnp.float32)
         return params
 
     def apply(self, params: dict, x):
+        return self.apply_with_aux(params, x)[0]
+
+    def apply_with_aux(self, params: dict, x):
+        """Block forward returning ``(x, aux)`` — aux is the MoE
+        load-balancing loss (0.0 for dense-FFN blocks)."""
         lin = lambda n, z: self._layers[n].apply(params[n], z)
         attend = lambda q, k, v: causal_attend(self.cfg.n_heads, q, k, v)
         h = rms_norm(x, params["norm_attn"])
         attn = lin("wo", attend(lin("wq", h), lin("wk", h), lin("wv", h)))
         x = x + attn
         h = rms_norm(x, params["norm_ffn"])
-        ffn = lin("w_down", jax.nn.silu(lin("w_gate", h)) * lin("w_up", h))
-        return x + ffn
+        if self.moe is not None:
+            ffn, aux = self.moe.apply(params["moe"], h)
+        else:
+            ffn = lin("w_down", jax.nn.silu(lin("w_gate", h)) * lin("w_up", h))
+            aux = jnp.float32(0.0)
+        return x + ffn, aux
 
 
 class BitTransformerLM:
@@ -149,29 +178,51 @@ class BitTransformerLM:
             "norm_out": jnp.ones((self.cfg.d_model,), jnp.float32),
         }
 
-    def apply(self, params: dict, tokens):
+    def apply(self, params: dict, tokens, *, constrain=None):
         """``tokens (B, T) int32 -> logits (B, T, vocab)``."""
-        x = params["embed"][tokens]
+        return self.apply_with_aux(params, tokens, constrain=constrain)[0]
+
+    def apply_with_aux(self, params: dict, tokens, *, constrain=None):
+        """Forward returning ``(logits, aux)`` — aux is the mean MoE
+        load-balancing loss across blocks (0.0 for dense-FFN models).
+
+        ``constrain``: optional ``x -> x`` hook applied to the ``(B, T, d)``
+        activations after the embedding and after every block. Passing a
+        ``with_sharding_constraint`` to ``P(data, model, None)`` turns this
+        into Megatron-style **sequence parallelism**: norms and residuals
+        compute T-sharded over the TP axis, GSPMD all-gathers T right before
+        the QKV/gate dots and turns the row-parallel psums into
+        reduce-scatters (see :func:`models.train.make_sharded_lm_train_step`).
+        """
+        con = constrain or (lambda z: z)
+        x = con(params["embed"][tokens])
+        aux = jnp.float32(0.0)
         for block, p in zip(self.blocks, params["blocks"]):
-            x = block.apply(p, x)
+            x, a = block.apply_with_aux(p, x)
+            x = con(x)
+            aux = aux + a
         x = rms_norm(x, params["norm_out"])
-        return jnp.einsum("btd,vd->btv", x, params["embed"])
+        logits = jnp.einsum("btd,vd->btv", x, params["embed"])
+        return logits, aux / max(1, self.cfg.n_layers)
 
 
-def lm_loss(model: BitTransformerLM, params, tokens):
-    """Next-token cross-entropy over ``tokens (B, T)``."""
-    logits = model.apply(params, tokens)[:, :-1]
+def lm_loss(model: BitTransformerLM, params, tokens, *,
+            aux_coef: float = 0.01, constrain=None):
+    """Next-token cross-entropy over ``tokens (B, T)`` (+ MoE balance aux)."""
+    logits, aux = model.apply_with_aux(params, tokens, constrain=constrain)
+    logits = logits[:, :-1]
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, targets[..., None], axis=-1))
+    ce = -jnp.mean(jnp.take_along_axis(logp, targets[..., None], axis=-1))
+    return ce + aux_coef * aux
 
 
-def make_lm_train_step(model: BitTransformerLM, optimizer):
+def make_lm_train_step(model: BitTransformerLM, optimizer, *, constrain=None):
     """Jittable ``(params, opt_state, tokens) -> (params, opt_state, loss)``."""
 
     def step(params, opt_state, tokens):
         loss, grads = jax.value_and_grad(
-            lambda p: lm_loss(model, p, tokens))(params)
+            lambda p: lm_loss(model, p, tokens, constrain=constrain))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -187,8 +238,15 @@ def lm_param_shardings(model: BitTransformerLM, mesh: Mesh,
     col = {"w": P(None, axis), "b": P(axis)}
     row = {"w": P(axis, None), "b": P()}
     block = {"wq": col, "wk": col, "wv": col, "wo": row,
-             "w_gate": col, "w_up": col, "w_down": row,
              "norm_attn": P(), "norm_ffn": P()}
+    if model.cfg.moe_experts:
+        # expert parallelism over the same axis: expert stacks split on
+        # their leading E dim, router replicated (models/moe.py)
+        block["moe"] = {"router": P(), "w_gate": P(axis, None, None),
+                        "w_up": P(axis, None, None),
+                        "w_down": P(axis, None, None)}
+    else:
+        block.update({"w_gate": col, "w_up": col, "w_down": row})
     spec = {"embed": P(), "norm_out": P(),
             "blocks": [block] * model.cfg.n_layers}
     return jax.tree_util.tree_map(
@@ -214,6 +272,10 @@ class ExportedTransformerBlock:
     def from_params(cls, cfg: BitTransformerConfig, params: dict,
                     format_cls: Type[TernaryFormat], *,
                     kernel: Optional[str] = None, **fmt_kwargs):
+        if cfg.moe_experts:
+            raise NotImplementedError(
+                "exported inference for MoE blocks is not wired yet; "
+                "export each expert via models.bitlinear.export_layer")
         linears = {
             n: ExportedBitLinear.from_params(params[n], format_cls,
                                              kernel=kernel, **fmt_kwargs)

@@ -1,0 +1,84 @@
+"""Sequence-parallelism tests: the sp-constrained LM train step matches the
+unconstrained one numerically, and the compiled HLO shows the Megatron
+all-gather/reduce-scatter pattern instead of fully replicated activations."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from ternary_spgemm_tpu.models import (
+    BitTransformerConfig,
+    BitTransformerLM,
+    make_sharded_lm_train_step,
+)
+from ternary_spgemm_tpu.parallel import make_mesh
+
+CFG = BitTransformerConfig(vocab=32, d_model=16, n_heads=2, d_ff=32,
+                           n_layers=2)
+
+
+def _run(sequence_parallel, steps=2):
+    model = BitTransformerLM(CFG)
+    params = model.init(jax.random.key(0))
+    toks = jax.random.randint(jax.random.key(1), (4, 8), 0, CFG.vocab)
+    mesh = make_mesh({"data": 2, "model": 4})
+    opt = optax.sgd(1e-2)
+    step, place = make_sharded_lm_train_step(
+        model, opt, mesh, sequence_parallel=sequence_parallel)
+    params, state, toks = place(params, opt.init(params), toks)
+    loss = None
+    for _ in range(steps):
+        params, state, loss = step(params, state, toks)
+    return params, float(loss), (step, (params, state, toks))
+
+
+def test_sp_step_matches_plain_sharded_step():
+    p_sp, loss_sp, _ = _run(True)
+    p_plain, loss_plain, _ = _run(False)
+    np.testing.assert_allclose(loss_sp, loss_plain, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_sp),
+                    jax.tree_util.tree_leaves(p_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_sp_hlo_has_sequence_collectives():
+    """The sp step's compiled HLO must reshard activations over the model
+    axis: all-gather feeding the TP dots and reduce-scatter (or at minimum
+    additional all-gathers over a no-sp baseline) after the row-parallel
+    projections."""
+    _, _, (step, args) = _run(True, steps=1)
+    hlo = step.lower(*args).compile().as_text()
+    assert "all-gather" in hlo
+    # GSPMD sometimes lowers reduce-scatter as all-reduce+dynamic-slice;
+    # accept either spelling of the scatter half.
+    assert ("reduce-scatter" in hlo) or ("dynamic-slice" in hlo)
+
+
+def test_sp_works_with_moe():
+    """sp + ep together: sequence-sharded activations feeding the MoE
+    dispatch still match the unsharded forward."""
+    cfg = BitTransformerConfig(vocab=32, d_model=16, n_heads=2, d_ff=32,
+                               n_layers=2, moe_experts=4,
+                               moe_capacity_factor=4.0)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(2))
+    toks = jax.random.randint(jax.random.key(3), (4, 8), 0, cfg.vocab)
+    want = model.apply(params, toks)
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    opt = optax.sgd(1e-2)
+    step, place = make_sharded_lm_train_step(model, opt, mesh,
+                                             sequence_parallel=True)
+    p_sh, state, t_sh = place(params, opt.init(params), toks)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    act = NamedSharding(mesh, P("data", "model", None))
+    con = lambda z: jax.lax.with_sharding_constraint(z, act)
+    got = jax.jit(lambda p, t: model.apply(p, t, constrain=con))(p_sh, t_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # and the full train step runs
+    p_sh, state, loss = step(p_sh, state, t_sh)
+    assert np.isfinite(float(loss))
