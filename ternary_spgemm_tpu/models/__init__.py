@@ -26,7 +26,9 @@ from ternary_spgemm_tpu.models.train import (
 from ternary_spgemm_tpu.models.moe import (
     BitMoE,
     BitMoEConfig,
+    ExportedMoE,
     moe_param_shardings,
+    moe_route,
 )
 from ternary_spgemm_tpu.models.generate import (
     ExportedTransformerLM,
@@ -54,5 +56,6 @@ __all__ = [
     "ExportedTransformerBlock", "lm_loss", "lm_param_shardings",
     "make_lm_train_step",
     "ExportedTransformerLM", "generate", "init_cache", "lm_decode_step",
-    "BitMoE", "BitMoEConfig", "moe_param_shardings",
+    "BitMoE", "BitMoEConfig", "ExportedMoE", "moe_param_shardings",
+    "moe_route",
 ]

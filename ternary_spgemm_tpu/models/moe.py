@@ -54,6 +54,44 @@ class BitMoEConfig:
         return max(4, min(n_tokens, c))
 
 
+def moe_route(cfg: BitMoEConfig, router_w, xs):
+    """Top-k dispatch/combine tensors for flat tokens ``xs (S, d)``.
+
+    Returns ``(dispatch (S,E,C) f32 0/1, combine (S,E,C) f32, aux)``.
+    Per top-k round: pick each token's best remaining expert, assign
+    capacity slots in token order by per-expert cumsum, drop overflow.
+    Shared by the QAT layer and :class:`ExportedMoE`.
+    """
+    S, E = xs.shape[0], cfg.n_experts
+    C = cfg.capacity(S)
+    logits = jnp.dot(xs, router_w, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)            # (S, E)
+
+    # Switch aux loss uses the FIRST-choice assignment fractions.
+    mask1 = jax.nn.one_hot(jnp.argmax(probs, -1), E, dtype=jnp.float32)
+    aux = E * jnp.mean(
+        jnp.mean(mask1, axis=0) * jnp.mean(probs, axis=0)) * E
+
+    remaining = probs
+    fill = jnp.zeros((E,), jnp.float32)                # slots used so far
+    dispatch = jnp.zeros((S, E, C), jnp.float32)
+    combine = jnp.zeros((S, E, C), jnp.float32)
+    for _ in range(cfg.top_k):                         # static, tiny
+        choice = jnp.argmax(remaining, axis=-1)        # (S,)
+        gate = jnp.take_along_axis(probs, choice[:, None], -1)[:, 0]
+        mask = jax.nn.one_hot(choice, E, dtype=jnp.float32)   # (S, E)
+        pos = fill[None, :] + jnp.cumsum(mask, axis=0) - mask  # slot index
+        keep = mask * (pos < C)
+        slot = jax.nn.one_hot(pos.astype(jnp.int32), C,
+                              dtype=jnp.float32)       # (S, E, C)
+        d_k = keep[:, :, None] * slot
+        dispatch = dispatch + d_k
+        combine = combine + d_k * gate[:, None, None]
+        fill = fill + jnp.sum(keep, axis=0)
+        remaining = remaining * (1.0 - mask)           # exclude chosen
+    return dispatch, combine, aux
+
+
 class BitMoE:
     """Functional ternary-expert MoE layer.
 
@@ -80,42 +118,7 @@ class BitMoE:
         }
 
     def _route(self, params, xs):
-        """Top-k dispatch/combine tensors for flat tokens ``xs (S, d)``.
-
-        Returns ``(dispatch (S,E,C) f32 0/1, combine (S,E,C) f32, aux)``.
-        Per top-k round: pick each token's best remaining expert, assign
-        capacity slots in token order by per-expert cumsum, drop overflow.
-        """
-        cfg = self.cfg
-        S, E = xs.shape[0], cfg.n_experts
-        C = cfg.capacity(S)
-        logits = jnp.dot(xs, params["router"],
-                         preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)            # (S, E)
-
-        # Switch aux loss uses the FIRST-choice assignment fractions.
-        mask1 = jax.nn.one_hot(jnp.argmax(probs, -1), E, dtype=jnp.float32)
-        aux = E * jnp.mean(
-            jnp.mean(mask1, axis=0) * jnp.mean(probs, axis=0)) * E
-
-        remaining = probs
-        fill = jnp.zeros((E,), jnp.float32)                # slots used so far
-        dispatch = jnp.zeros((S, E, C), jnp.float32)
-        combine = jnp.zeros((S, E, C), jnp.float32)
-        for _ in range(cfg.top_k):                         # static, tiny
-            choice = jnp.argmax(remaining, axis=-1)        # (S,)
-            gate = jnp.take_along_axis(probs, choice[:, None], -1)[:, 0]
-            mask = jax.nn.one_hot(choice, E, dtype=jnp.float32)   # (S, E)
-            pos = fill[None, :] + jnp.cumsum(mask, axis=0) - mask  # slot index
-            keep = mask * (pos < C)
-            slot = jax.nn.one_hot(pos.astype(jnp.int32), C,
-                                  dtype=jnp.float32)       # (S, E, C)
-            d_k = keep[:, :, None] * slot
-            dispatch = dispatch + d_k
-            combine = combine + d_k * gate[:, None, None]
-            fill = fill + jnp.sum(keep, axis=0)
-            remaining = remaining * (1.0 - mask)           # exclude chosen
-        return dispatch, combine, aux
+        return moe_route(self.cfg, params["router"], xs)
 
     def apply(self, params: dict, x, *, expert_sharding=None):
         """``x (..., d) -> (y (..., d), aux scalar)``.
@@ -144,6 +147,59 @@ class BitMoE:
             out = jax.lax.with_sharding_constraint(out, expert_sharding)
         y = jnp.einsum("sec,ecd->sd", combine, out)              # a2a #2
         return y.reshape(x.shape), aux
+
+
+class ExportedMoE:
+    """A trained :class:`BitMoE` frozen into ternary containers — the MoE
+    serving path. The router stays f32 (it is tiny: d×E); every expert's
+    gate/up/down matrix becomes a registered container + absmean gamma and
+    runs through the SpMM kernel registry
+    (:class:`~ternary_spgemm_tpu.models.exported.ExportedBitLinear`, so the
+    frozen experts are differentiable w.r.t. their inputs too).
+
+    The expert loop is a static Python loop (E kernel-call triples under
+    one jit) — each expert's containers ride as pytree leaves, never as
+    closure captures (docs/perf.md §10). A registered pytree: pass the
+    layer THROUGH jit as an argument.
+    """
+
+    def __init__(self, cfg: BitMoEConfig, router, experts):
+        self.cfg = cfg
+        self.router = jnp.asarray(router, jnp.float32)
+        self.experts = list(experts)   # [{"w_gate","w_up","w_down"}: ExportedBitLinear]
+
+    @classmethod
+    def from_params(cls, cfg: BitMoEConfig, params: dict, format_cls, *,
+                    kernel=None, **fmt_kwargs):
+        from ternary_spgemm_tpu.models.exported import ExportedBitLinear
+
+        experts = []
+        for e in range(cfg.n_experts):
+            experts.append({
+                n: ExportedBitLinear.from_params(
+                    {"w": params[n][e],
+                     "b": jnp.zeros((params[n][e].shape[1],), jnp.float32)},
+                    format_cls, kernel=kernel, **fmt_kwargs)
+                for n in ("w_gate", "w_up", "w_down")})
+        return cls(cfg, params["router"], experts)
+
+    def __call__(self, x):
+        d = x.shape[-1]
+        xs = x.reshape(-1, d)
+        dispatch, combine, _ = moe_route(self.cfg, self.router, xs)
+        expert_in = jnp.einsum("sec,sd->ecd", dispatch, xs)
+        outs = []
+        for e, ex in enumerate(self.experts):
+            h = jax.nn.silu(ex["w_gate"](expert_in[e])) * ex["w_up"](expert_in[e])
+            outs.append(ex["w_down"](h))
+        y = jnp.einsum("sec,ecd->sd", combine, jnp.stack(outs))
+        return y.reshape(x.shape)
+
+
+jax.tree_util.register_pytree_node(
+    ExportedMoE,
+    lambda m: ((m.router, m.experts), m.cfg),
+    lambda cfg, ch: ExportedMoE(cfg, ch[0], ch[1]))
 
 
 def moe_param_shardings(mesh: Mesh, axis: str = "expert"):

@@ -262,25 +262,34 @@ class ExportedTransformerBlock:
     ternary projections."""
 
     def __init__(self, cfg: BitTransformerConfig, linears: dict,
-                 norm_attn, norm_ffn):
+                 norm_attn, norm_ffn, moe=None):
         self.cfg = cfg
         self.linears = dict(linears)
         self.norm_attn = jnp.asarray(norm_attn, jnp.float32)
         self.norm_ffn = jnp.asarray(norm_ffn, jnp.float32)
+        self.moe = moe  # ExportedMoE for MoE-FFN configs, else None
 
     @classmethod
     def from_params(cls, cfg: BitTransformerConfig, params: dict,
                     format_cls: Type[TernaryFormat], *,
                     kernel: Optional[str] = None, **fmt_kwargs):
+        moe = None
         if cfg.moe_experts:
-            raise NotImplementedError(
-                "exported inference for MoE blocks is not wired yet; "
-                "export each expert via models.bitlinear.export_layer")
+            from ternary_spgemm_tpu.models.moe import BitMoEConfig, ExportedMoE
+
+            names = BitTransformerBlock.ATTN_LINEARS
+            moe = ExportedMoE.from_params(
+                BitMoEConfig(cfg.d_model, cfg.d_ff, cfg.moe_experts,
+                             top_k=cfg.moe_top_k,
+                             capacity_factor=cfg.moe_capacity_factor),
+                params["moe"], format_cls, kernel=kernel, **fmt_kwargs)
+        else:
+            names = BitTransformerBlock.LINEARS
         linears = {
             n: ExportedBitLinear.from_params(params[n], format_cls,
                                              kernel=kernel, **fmt_kwargs)
-            for n in BitTransformerBlock.LINEARS}
-        return cls(cfg, linears, params["norm_attn"], params["norm_ffn"])
+            for n in names}
+        return cls(cfg, linears, params["norm_attn"], params["norm_ffn"], moe)
 
     def __call__(self, x):
         B, T, d = x.shape
@@ -291,11 +300,15 @@ class ExportedTransformerBlock:
         attn = flat("wo", attend(flat("wq", h), flat("wk", h), flat("wv", h)))
         x = x + attn
         h = rms_norm(x, self.norm_ffn)
-        ffn = flat("w_down", jax.nn.silu(flat("w_gate", h)) * flat("w_up", h))
+        if self.moe is not None:
+            ffn = self.moe(h)
+        else:
+            ffn = flat("w_down",
+                       jax.nn.silu(flat("w_gate", h)) * flat("w_up", h))
         return x + ffn
 
 
 jax.tree_util.register_pytree_node(
     ExportedTransformerBlock,
-    lambda b: ((b.linears, b.norm_attn, b.norm_ffn), b.cfg),
-    lambda cfg, ch: ExportedTransformerBlock(cfg, ch[0], ch[1], ch[2]))
+    lambda b: ((b.linears, b.norm_attn, b.norm_ffn, b.moe), b.cfg),
+    lambda cfg, ch: ExportedTransformerBlock(cfg, ch[0], ch[1], ch[2], ch[3]))

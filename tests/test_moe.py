@@ -165,13 +165,36 @@ def test_moe_transformer_trains_and_shards():
 def test_moe_config_validation():
     with pytest.raises(ValueError, match="top_k"):
         BitMoEConfig(16, 32, 4, top_k=5)
-    with pytest.raises(NotImplementedError, match="export"):
-        from ternary_spgemm_tpu.formats import TCSC
-        from ternary_spgemm_tpu.models import ExportedTransformerBlock
-        cfg = BitTransformerConfig(d_model=16, n_heads=2, d_ff=32,
-                                   moe_experts=2)
-        blk = __import__("ternary_spgemm_tpu.models.transformer",
-                         fromlist=["BitTransformerBlock"]
-                         ).BitTransformerBlock(cfg)
-        ExportedTransformerBlock.from_params(
-            cfg, blk.init(jax.random.key(0)), TCSC)
+
+
+def test_exported_moe_matches_qat_forward():
+    """Freezing the experts into containers reproduces the QAT forward
+    exactly (same ternarization, gamma folded into the kernel epilogue)."""
+    from ternary_spgemm_tpu.formats import TCSC
+    from ternary_spgemm_tpu.models import ExportedMoE
+
+    cfg = BitMoEConfig(16, 32, 4, top_k=2, capacity_factor=4.0)
+    moe, params, x = _setup(cfg, S=24)
+    want, _ = moe.apply(params, x)
+    exported = ExportedMoE.from_params(cfg, params, TCSC)
+    got = jax.jit(lambda m, z: m(z))(exported, x)  # through-jit: literal-free
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_exported_moe_transformer_block():
+    """A full MoE transformer block exports and matches its QAT forward."""
+    from ternary_spgemm_tpu.formats import TCSC
+    from ternary_spgemm_tpu.models import ExportedTransformerBlock
+    from ternary_spgemm_tpu.models.transformer import BitTransformerBlock
+
+    cfg = BitTransformerConfig(d_model=16, n_heads=2, d_ff=32,
+                               moe_experts=2, moe_capacity_factor=4.0)
+    blk = BitTransformerBlock(cfg)
+    params = blk.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 8, 16))
+    want = blk.apply(params, x)
+    exported = ExportedTransformerBlock.from_params(cfg, params, TCSC)
+    got = jax.jit(lambda b, z: b(z))(exported, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
