@@ -28,7 +28,9 @@ def main(argv=None) -> int:
     p.add_argument("--M", type=int, default=32)
     p.add_argument("--K", type=int, default=1024)
     p.add_argument("--s", type=int, default=4)
-    p.add_argument("--scheme", choices=["column", "overlapped"], default="overlapped")
+    p.add_argument("--scheme",
+                   choices=["column", "overlapped", "pipeline", "moe"],
+                   default="overlapped")
     p.add_argument("--format", dest="fmt", default="BlockPackedTernary")
     p.add_argument("--kernel", default=None)
     p.add_argument("--platform", default=None)
@@ -52,6 +54,10 @@ def main(argv=None) -> int:
     ndev = len(jax.devices())
     counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev]
     results = []
+
+    if args.scheme in ("pipeline", "moe"):
+        return _model_scaling(args, counts)
+
     for d in counts:
         N = args.n_per_device * d
         mesh = make_mesh({"model": d})
@@ -74,6 +80,76 @@ def main(argv=None) -> int:
         print(json.dumps(rec), flush=True)
     with open(args.output, "w") as f:
         json.dump({"config": vars(args), "results": results}, f, indent=1)
+    return 0
+
+
+def _model_scaling(args, counts):
+    """Weak scaling for the model-parallel legs.
+
+    pipeline: stages ∝ d with constant layers/stage — total model depth
+    grows with d while per-device work stays fixed; the GPipe bubble bounds
+    efficiency at n_micro / (n_micro + d - 1), so report efficiency against
+    that bound too.
+    moe: experts ∝ d AND tokens ∝ d — per-device expert compute constant;
+    the cost of scale is the dispatch all_to_alls.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ternary_spgemm_tpu.bench.timing import time_device_loop
+    from ternary_spgemm_tpu.parallel import make_mesh
+
+    results = []
+    for d in counts:
+        if args.scheme == "pipeline":
+            from ternary_spgemm_tpu.models import (
+                BitTransformerConfig, BitTransformerLM)
+            from ternary_spgemm_tpu.parallel import pipeline_lm_apply
+
+            n_micro = 4
+            cfg = BitTransformerConfig(vocab=64, d_model=128, n_heads=4,
+                                       d_ff=256, n_layers=2 * d)
+            model = BitTransformerLM(cfg)
+            params = model.init(jax.random.key(0))
+            toks = jnp.zeros((8 * n_micro, 32), jnp.int32)
+            mesh = make_mesh({"pipe": d})
+            fn = jax.jit(lambda p, t: pipeline_lm_apply(
+                model, p, t, mesh, n_micro=n_micro))
+            t = time_device_loop(lambda tk: fn(params, tk), toks,
+                                 min_seconds=0.1)
+            bound = n_micro / (n_micro + d - 1)
+        else:
+            from ternary_spgemm_tpu.models import (
+                BitMoE, BitMoEConfig, moe_param_shardings)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            cfg = BitMoEConfig(d_model=128, d_ff=256, n_experts=d,
+                               capacity_factor=2.0)
+            moe = BitMoE(cfg)
+            params = moe.init(jax.random.key(0))
+            mesh = make_mesh({"expert": d})
+            params = jax.device_put(params, moe_param_shardings(mesh))
+            ep = NamedSharding(mesh, P("expert", None, None))
+            x = jax.random.normal(jax.random.key(1), (256 * d, cfg.d_model))
+            fn = jax.jit(lambda p, z: moe.apply(p, z, expert_sharding=ep)[0])
+            t = time_device_loop(lambda z: fn(params, z), x,
+                                 min_seconds=0.1)
+            bound = 1.0
+        eff = (results[0]["seconds"] / t.seconds) if results else 1.0
+        # On a virtual CPU mesh all d "devices" share one host's cores, so
+        # TOTAL work (which grows ∝ d in these weak-scaling schemes) is the
+        # fair reference: t_ref = d * t(1) / schedule_bound. On real chips
+        # weak_scaling_efficiency is the headline number instead.
+        t1 = results[0]["seconds"] if results else t.seconds
+        rec = {"devices": d, "seconds": t.seconds,
+               "weak_scaling_efficiency": eff,
+               "schedule_bound": bound,
+               "shared_host_efficiency": (d * t1 / bound) / t.seconds}
+        results.append(rec)
+        print(__import__("json").dumps(rec), flush=True)
+    with open(args.output, "w") as f:
+        import json as _json
+        _json.dump({"config": vars(args), "results": results}, f, indent=1)
     return 0
 
 
