@@ -72,11 +72,15 @@ class BitLinear:
         return params
 
     def apply(self, params: dict, x: jax.Array) -> jax.Array:
-        wq = ternary_quantize_ste(params["w"])
+        # quantize at MASTER precision (f32 round(W/gamma) — casting the
+        # latents first flips ternary decisions at the 0.5 boundary), then
+        # cast the quantized weights to the compute dtype; accumulate in
+        # f32 (MXU-native for bf16 inputs) and return at x's dtype
+        wq = ternary_quantize_ste(params["w"]).astype(x.dtype)
         y = jnp.dot(x, wq, preferred_element_type=jnp.float32) + params["b"]
         if self.prelu:
             y = jnp.where(y > 0, y, params["alpha"] * y)
-        return y
+        return y.astype(x.dtype)
 
 
 class TernaryMLP:

@@ -132,13 +132,19 @@ class BitMoE:
         d = x.shape[-1]
         xs = x.reshape(-1, d)
         dispatch, combine, aux = self._route(params, xs)
+        # dispatch/combine ride at the compute dtype (bf16 policy: the 0/1
+        # dispatch is exact, the combine gates lose <2^-8 relative)
+        dispatch = dispatch.astype(xs.dtype)
+        combine = combine.astype(xs.dtype)
         expert_in = jnp.einsum("sec,sd->ecd", dispatch, xs)      # a2a #1
         if expert_sharding is not None:
             expert_in = jax.lax.with_sharding_constraint(
                 expert_in, expert_sharding)
-        # per-EXPERT absmean gamma (each expert is its own BitNet matrix)
+        # per-EXPERT absmean gamma (each expert is its own BitNet matrix);
+        # quantize at master f32 precision, compute at x's dtype
         quant = jax.vmap(ternary_quantize_ste)
-        wq = {n: quant(params[n]) for n in ("w_gate", "w_up", "w_down")}
+        wq = {n: quant(params[n]).astype(x.dtype)
+              for n in ("w_gate", "w_up", "w_down")}
         h = jnp.einsum("ecd,edf->ecf", expert_in, wq["w_gate"])
         u = jnp.einsum("ecd,edf->ecf", expert_in, wq["w_up"])
         h = jax.nn.silu(h) * u

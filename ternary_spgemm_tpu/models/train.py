@@ -56,7 +56,8 @@ def param_shardings(model: TernaryMLP, mesh: Mesh, axis: str = "model"):
 def make_sharded_lm_train_step(model, optimizer, mesh: Mesh, *,
                                data_axis: str = "data",
                                model_axis: str = "model",
-                               sequence_parallel: bool = False):
+                               sequence_parallel: bool = False,
+                               zero1: bool = False):
     """Compile the transformer-LM train step SPMD over a (data × model) mesh.
 
     Batch rides ``data_axis``; params follow
@@ -67,6 +68,12 @@ def make_sharded_lm_train_step(model, optimizer, mesh: Mesh, *,
     over the TP axis, so norms/residuals compute T-sharded and GSPMD emits
     the all-gather/reduce-scatter pair of Megatron sequence parallelism
     instead of keeping full activations replicated per TP rank.
+
+    With ``zero1=True`` the optimizer moments additionally shard one free
+    axis over ``data_axis`` (ZeRO stage 1): each data-parallel rank stores
+    and updates 1/dp of the optimizer state, GSPMD reduce-scatters the
+    gradients into the update and all-gathers the fresh params — optimizer
+    memory O(P/dp) instead of O(P) per device.
 
     Returns ``(jitted_step, place)``; ``place(params, opt_state, tokens)``
     lays everything out.
@@ -80,8 +87,7 @@ def make_sharded_lm_train_step(model, optimizer, mesh: Mesh, *,
     if sequence_parallel:
         act = NamedSharding(mesh, P(data_axis, model_axis, None))
         constrain = lambda z: jax.lax.with_sharding_constraint(z, act)
-    jitted = jax.jit(make_lm_train_step(model, optimizer,
-                                        constrain=constrain))
+    base_step = make_lm_train_step(model, optimizer, constrain=constrain)
     ptree = jax.tree_util.tree_structure(
         jax.tree_util.tree_map(lambda s: 0, pshard))
 
@@ -91,10 +97,49 @@ def make_sharded_lm_train_step(model, optimizer, mesh: Mesh, *,
         except Exception:
             return False
 
+    def _zero1_sharding(s: NamedSharding, leaf):
+        """Param sharding + one free axis sharded over data_axis (if any
+        axis divides evenly); falls back to the param sharding."""
+        leaf = jnp.asarray(leaf)
+        spec = list(s.spec) + [None] * (leaf.ndim - len(s.spec))
+        dp = mesh.shape[data_axis]
+        for i, ax in enumerate(spec):
+            if ax is None and leaf.ndim and leaf.shape[i] % dp == 0 \
+                    and leaf.shape[i] >= dp:
+                spec[i] = data_axis
+                break
+        return NamedSharding(mesh, P(*spec))
+
+    def _place_moments(sub):
+        if not zero1:
+            return jax.device_put(sub, pshard)
+        return jax.tree_util.tree_map(
+            lambda s, l: jax.device_put(l, _zero1_sharding(s, l)),
+            pshard, sub)
+
+    def _constrain_moments(opt_state):
+        """Pin updated moments back to the zero1 layout inside the compiled
+        step — otherwise GSPMD may propagate them back to replicated after
+        the first update and the memory win evaporates."""
+        return jax.tree_util.tree_map(
+            lambda sub: (jax.tree_util.tree_map(
+                lambda s, l: jax.lax.with_sharding_constraint(
+                    l, _zero1_sharding(s, l)), pshard, sub)
+                if _mirrors_params(sub) else sub),
+            opt_state, is_leaf=_mirrors_params)
+
+    def step(params, opt_state, tokens):
+        params, opt_state, loss = base_step(params, opt_state, tokens)
+        if zero1:
+            opt_state = _constrain_moments(opt_state)
+        return params, opt_state, loss
+
+    jitted = jax.jit(step)
+
     def place(params, opt_state, tokens):
         params = jax.device_put(params, pshard)
         opt_state = jax.tree_util.tree_map(
-            lambda sub: (jax.device_put(sub, pshard)
+            lambda sub: (_place_moments(sub)
                          if _mirrors_params(sub) else sub),
             opt_state, is_leaf=_mirrors_params)
         return params, opt_state, jax.device_put(tokens, tshard)

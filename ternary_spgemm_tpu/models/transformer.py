@@ -41,9 +41,14 @@ from ternary_spgemm_tpu.models.exported import ExportedBitLinear
 
 
 def rms_norm(x, scale, eps: float = 1e-6):
-    """RMSNorm (the BitNet/LLaMA norm; no mean subtraction, no bias)."""
-    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
-    return x * jax.lax.rsqrt(var + eps) * scale
+    """RMSNorm (the BitNet/LLaMA norm; no mean subtraction, no bias).
+
+    The variance accumulates in f32 regardless of compute dtype (bf16's 8
+    mantissa bits lose the mean-of-squares); output returns to x's dtype.
+    """
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale.astype(x.dtype)
 
 
 def rotary_embed(x, *, base: float = 10000.0):
@@ -57,7 +62,7 @@ def rotary_embed(x, *, base: float = 10000.0):
     half = D // 2
     freqs = base ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
     ang = jnp.arange(T, dtype=jnp.float32)[:, None] * freqs[None, :]
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    cos, sin = jnp.cos(ang).astype(x.dtype), jnp.sin(ang).astype(x.dtype)
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
 
@@ -70,10 +75,12 @@ def causal_attend(n_heads: int, q, k, v):
     split = lambda z: z.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3)
     q, k, v = split(q), split(k), split(v)
     q, k = rotary_embed(q), rotary_embed(k)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (hd ** 0.5)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / (hd ** 0.5)
     mask = jnp.tril(jnp.ones((T, T), bool))
     logits = jnp.where(mask, logits, -jnp.inf)
-    out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), v)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)  # softmax in f32
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     return out.transpose(0, 2, 1, 3).reshape(B, T, d)
 
 
@@ -89,6 +96,15 @@ class BitTransformerConfig:
     moe_experts: int = 0
     moe_top_k: int = 1
     moe_capacity_factor: float = 2.0
+    # rematerialize each block's activations in the backward pass
+    # (jax.checkpoint): activation memory O(L) -> O(1) blocks at the cost
+    # of one extra forward — the HBM-capacity lever for deep stacks
+    remat: bool = False
+    # compute dtype for block internals (params/logits stay f32): bf16
+    # halves activation HBM traffic and doubles MXU rate; the ternary
+    # quantization braces values to gamma*{-1,0,1} so bf16's 8 mantissa
+    # bits cover the QAT regime
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         if self.d_model % self.n_heads:
@@ -145,7 +161,18 @@ class BitTransformerBlock:
 
     def apply_with_aux(self, params: dict, x):
         """Block forward returning ``(x, aux)`` — aux is the MoE
-        load-balancing loss (0.0 for dense-FFN blocks)."""
+        load-balancing loss (0.0 for dense-FFN blocks).
+
+        Under a non-f32 ``compute_dtype`` the activations ride at the
+        compute dtype and each layer casts its QUANTIZED weights down at
+        use (BitLinear/BitMoE): ternarization decisions (round(W/gamma))
+        stay f32-exact — casting the latent weights first flips weights
+        near the 0.5 boundary, a discrete error far larger than bf16
+        rounding. rms_norm and softmax keep f32 accumulations internally.
+        """
+        cdtype = jnp.dtype(self.cfg.compute_dtype)
+        if x.dtype != cdtype:
+            x = x.astype(cdtype)
         lin = lambda n, z: self._layers[n].apply(params[n], z)
         attend = lambda q, k, v: causal_attend(self.cfg.n_heads, q, k, v)
         h = rms_norm(x, params["norm_attn"])
@@ -196,12 +223,17 @@ class BitTransformerLM:
         """
         con = constrain or (lambda z: z)
         x = con(params["embed"][tokens])
+        cdtype = jnp.dtype(self.cfg.compute_dtype)
+        x = x.astype(cdtype)
         aux = jnp.float32(0.0)
         for block, p in zip(self.blocks, params["blocks"]):
-            x, a = block.apply_with_aux(p, x)
-            x = con(x)
+            fn = block.apply_with_aux
+            if self.cfg.remat:
+                fn = jax.checkpoint(fn)
+            x, a = fn(p, x)
+            x = con(x.astype(cdtype))
             aux = aux + a
-        x = rms_norm(x, params["norm_out"])
+        x = rms_norm(x.astype(jnp.float32), params["norm_out"])
         logits = jnp.einsum("btd,vd->btv", x, params["embed"])
         return logits, aux / max(1, self.cfg.n_layers)
 
