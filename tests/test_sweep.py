@@ -85,3 +85,19 @@ def test_sweep_cli_smoke(tmp_path):
     recs = json.load(open(out_path))
     assert recs[0]["test_case"] == {"M": 4, "K": 32, "N": 64, "s": 4}
     assert "DenseMXU" in recs[0]["results"]
+
+
+def test_model_bench_cli_smoke(tmp_path):
+    """tools/model_bench.py runs all three regimes on the tiny preset."""
+    out_path = str(tmp_path / "mb.json")
+    out = subprocess.run(
+        [sys.executable, "tools/model_bench.py", "--preset", "test",
+         "--format", "TiledBitplane", "--platform", "cpu",
+         "--min-seconds", "0.01", "--kernels", "PallasTiledBitplane_i8",
+         "--output", out_path],
+        capture_output=True, text=True, cwd="/root/repo", timeout=900)
+    res = json.load(open(out_path))["results"]
+    assert res["qat_train_step"]["seconds"] > 0, out.stdout + out.stderr[-500:]
+    assert res["qat_forward"]["seconds"] > 0
+    assert res["exported/PallasTiledBitplane_i8"]["seconds"] > 0
+    assert res["a8_block"]["seconds"] > 0
