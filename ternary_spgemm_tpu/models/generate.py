@@ -72,14 +72,20 @@ def _cached_attend(n_heads: int, q, k_new, v_new, cache, pos):
     return out.transpose(0, 2, 1, 3).reshape(B, 1, d), {"k": ck, "v": cv}
 
 
-def _block_decode(n_heads: int, lin, norm_attn, norm_ffn, x, cache, pos):
-    """One block, one token. ``lin(name, z)`` is the backend's projection."""
+def _block_decode(n_heads: int, lin, norm_attn, norm_ffn, x, cache, pos,
+                  ffn=None):
+    """One block, one token. ``lin(name, z)`` is the backend's projection;
+    ``ffn(h) -> h`` overrides the dense SwiGLU (MoE-FFN blocks route the
+    single-token batch through their experts)."""
     h = rms_norm(x, norm_attn)
     attn, cache = _cached_attend(
         n_heads, lin("wq", h), lin("wk", h), lin("wv", h), cache, pos)
     x = x + lin("wo", attn)
     h = rms_norm(x, norm_ffn)
-    x = x + lin("w_down", jax.nn.silu(lin("w_gate", h)) * lin("w_up", h))
+    if ffn is not None:
+        x = x + ffn(h)
+    else:
+        x = x + lin("w_down", jax.nn.silu(lin("w_gate", h)) * lin("w_up", h))
     return x, cache
 
 
@@ -88,9 +94,14 @@ def lm_decode_step(model: BitTransformerLM, params, tokens, caches, pos):
     x = params["embed"][tokens][:, None, :]
     new_caches = []
     for block, p, cache in zip(model.blocks, params["blocks"], caches):
-        lin = (lambda p_: lambda n, z: block._layers[n].apply(p_[n], z))(p)
+        lin = (lambda b_, p_: lambda n, z: b_._layers[n].apply(p_[n], z))(
+            block, p)
+        ffn = None
+        if block.moe is not None:
+            ffn = (lambda b_, p_: lambda h: b_.moe.apply(p_["moe"], h)[0])(
+                block, p)
         x, cache = _block_decode(model.cfg.n_heads, lin, p["norm_attn"],
-                                 p["norm_ffn"], x, cache, pos)
+                                 p["norm_ffn"], x, cache, pos, ffn=ffn)
         new_caches.append(cache)
     x = rms_norm(x, params["norm_out"])
     return jnp.einsum("btd,vd->btv", x, params["embed"])[:, 0], new_caches
@@ -139,8 +150,11 @@ class ExportedTransformerLM:
         for block, cache in zip(self.blocks, caches):
             lin = (lambda b_: lambda n, z: b_.linears[n](
                 z.reshape(B, -1))[:, None, :])(block)
+            ffn = None
+            if block.moe is not None:
+                ffn = (lambda b_: lambda h: b_.moe(h))(block)
             x, cache = _block_decode(self.cfg.n_heads, lin, block.norm_attn,
-                                     block.norm_ffn, x, cache, pos)
+                                     block.norm_ffn, x, cache, pos, ffn=ffn)
             new_caches.append(cache)
         x = rms_norm(x, self.norm_out)
         return jnp.einsum("btd,vd->btv", x, self.embed)[:, 0], new_caches

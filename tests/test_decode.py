@@ -84,3 +84,42 @@ def test_generate_exported_matches_qat():
     a = generate(model, prompt, n_new=5, params=params)
     b = generate(exported, prompt, n_new=5)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_moe_decode_matches_full_forward():
+    """MoE-FFN blocks decode through the cache too. Capacity must not bind
+    (decode routes S=B tokens/step vs S=B*T in the full forward, so a
+    binding capacity would drop different tokens; capacity_factor is set
+    high enough that nothing drops in either regime)."""
+    cfg = BitTransformerConfig(vocab=48, d_model=32, n_heads=2, d_ff=64,
+                               n_layers=2, moe_experts=4,
+                               moe_capacity_factor=8.0)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(7))
+    toks = jax.random.randint(jax.random.key(8), (2, 8), 0, cfg.vocab)
+    want = model.apply(params, toks)
+    caches = init_cache(cfg, 2, 8)
+    for t in range(8):
+        logits, caches = lm_decode_step(model, params, toks[:, t], caches,
+                                        jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(want[:, t]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_moe_exported_decode_matches_qat():
+    cfg = BitTransformerConfig(vocab=48, d_model=32, n_heads=2, d_ff=64,
+                               n_layers=2, moe_experts=2,
+                               moe_capacity_factor=8.0)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(9))
+    exported = ExportedTransformerLM.from_params(model, params, DenseTernary)
+    toks = jax.random.randint(jax.random.key(10), (2, 6), 0, cfg.vocab)
+    c_q = init_cache(cfg, 2, 6)
+    c_e = init_cache(cfg, 2, 6)
+    for t in range(6):
+        lq, c_q = lm_decode_step(model, params, toks[:, t], c_q,
+                                 jnp.asarray(t))
+        le, c_e = exported.decode_step(toks[:, t], c_e, jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(le), np.asarray(lq),
+                                   rtol=2e-4, atol=2e-4)

@@ -85,3 +85,21 @@ def test_pipeline_rejects_bad_split():
         pipeline_lm_apply(model, params, toks[:6], mesh, n_micro=4)
     with pytest.raises(ValueError, match="stages"):
         lm_stage_params(model, params, 3)
+
+
+def test_pipeline_composes_with_moe_blocks():
+    """pp x ep composition: MoE-FFN blocks pipeline like dense ones (the
+    experts stay local to each stage; aux is dropped in the pipelined
+    forward, same as block.apply)."""
+    cfg = BitTransformerConfig(vocab=32, d_model=16, n_heads=2, d_ff=32,
+                               n_layers=4, moe_experts=2,
+                               moe_capacity_factor=8.0)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(11))
+    toks = jax.random.randint(jax.random.key(12), (4, 8), 0, cfg.vocab)
+    mesh = make_mesh({"pipe": 2})
+    want = model.apply(params, toks)
+    got = jax.jit(lambda p, t: pipeline_lm_apply(model, p, t, mesh,
+                                                 n_micro=2))(params, toks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
