@@ -35,6 +35,7 @@ from ternary_spgemm_tpu.models.generate import (
     generate,
     init_cache,
     lm_decode_step,
+    lm_prefill,
 )
 from ternary_spgemm_tpu.models.transformer import (
     BitTransformerBlock,
@@ -56,6 +57,7 @@ __all__ = [
     "ExportedTransformerBlock", "lm_loss", "lm_param_shardings",
     "make_lm_train_step",
     "ExportedTransformerLM", "generate", "init_cache", "lm_decode_step",
+    "lm_prefill",
     "BitMoE", "BitMoEConfig", "ExportedMoE", "moe_param_shardings",
     "moe_route",
 ]

@@ -89,6 +89,60 @@ def _block_decode(n_heads: int, lin, norm_attn, norm_ffn, x, cache, pos,
     return x, cache
 
 
+def _prefill_attend(n_heads: int, q, k, v, cache):
+    """Full-prompt causal attention that also fills the cache: the MXU-
+    efficient prefill (one (B,T0,d) forward) instead of T0 sequential M=1
+    decode steps. Math identical to ``transformer.causal_attend``; the
+    cache stores ROTATED keys (same convention as :func:`_cached_attend`)."""
+    B, T, d = q.shape
+    hd = d // n_heads
+    split = lambda z: z.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3)
+    q, k, v = split(q), split(k), split(v)
+    from ternary_spgemm_tpu.models.transformer import rotary_embed
+    q, k = rotary_embed(q), rotary_embed(k)
+    ck = jax.lax.dynamic_update_slice(cache["k"], k, (0, 0, 0, 0))
+    cv = jax.lax.dynamic_update_slice(cache["v"], v, (0, 0, 0, 0))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (hd ** 0.5)
+    mask = jnp.tril(jnp.ones((T, T), bool))
+    logits = jnp.where(mask, logits, -jnp.inf)
+    out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), v)
+    return out.transpose(0, 2, 1, 3).reshape(B, T, d), {"k": ck, "v": cv}
+
+
+def _block_prefill(n_heads: int, lin, norm_attn, norm_ffn, x, cache,
+                   ffn=None):
+    """One block over the whole prompt, filling its cache."""
+    h = rms_norm(x, norm_attn)
+    attn, cache = _prefill_attend(
+        n_heads, lin("wq", h), lin("wk", h), lin("wv", h), cache)
+    x = x + lin("wo", attn)
+    h = rms_norm(x, norm_ffn)
+    if ffn is not None:
+        x = x + ffn(h)
+    else:
+        x = x + lin("w_down", jax.nn.silu(lin("w_gate", h)) * lin("w_up", h))
+    return x, cache
+
+
+def lm_prefill(model: BitTransformerLM, params, tokens, caches):
+    """QAT backend prompt prefill: ``tokens (B, T0) -> (logits (B, T0,
+    vocab), caches')`` — equivalent to T0 decode steps, one forward."""
+    x = params["embed"][tokens]
+    new_caches = []
+    for block, p, cache in zip(model.blocks, params["blocks"], caches):
+        lin = (lambda b_, p_: lambda n, z: b_._layers[n].apply(p_[n], z))(
+            block, p)
+        ffn = None
+        if block.moe is not None:
+            ffn = (lambda b_, p_: lambda h: b_.moe.apply(p_["moe"], h)[0])(
+                block, p)
+        x, cache = _block_prefill(model.cfg.n_heads, lin, p["norm_attn"],
+                                  p["norm_ffn"], x, cache, ffn=ffn)
+        new_caches.append(cache)
+    x = rms_norm(x, params["norm_out"])
+    return jnp.einsum("btd,vd->btv", x, params["embed"]), new_caches
+
+
 def lm_decode_step(model: BitTransformerLM, params, tokens, caches, pos):
     """QAT backend: ``tokens (B,) int32 -> (logits (B, vocab), caches')``."""
     x = params["embed"][tokens][:, None, :]
@@ -142,6 +196,23 @@ class ExportedTransformerLM:
         x = rms_norm(x, self.norm_out)
         return jnp.einsum("btd,vd->btv", x, self.embed)
 
+    def prefill(self, tokens, caches):
+        """Prompt prefill: ``tokens (B, T0) -> (logits, caches')``."""
+        B, T = tokens.shape
+        x = self.embed[tokens]
+        new_caches = []
+        for block, cache in zip(self.blocks, caches):
+            lin = (lambda b_: lambda n, z: b_.linears[n](
+                z.reshape(B * T, -1)).reshape(B, T, -1))(block)
+            ffn = None
+            if block.moe is not None:
+                ffn = (lambda b_: lambda h: b_.moe(h))(block)
+            x, cache = _block_prefill(self.cfg.n_heads, lin, block.norm_attn,
+                                      block.norm_ffn, x, cache, ffn=ffn)
+            new_caches.append(cache)
+        x = rms_norm(x, self.norm_out)
+        return jnp.einsum("btd,vd->btv", x, self.embed), new_caches
+
     def decode_step(self, tokens, caches, pos):
         """``tokens (B,) -> (logits (B, vocab), caches')`` via the caches."""
         B = tokens.shape[0]
@@ -173,21 +244,41 @@ jax.tree_util.register_pytree_node(
     _unflatten_lm)
 
 
-def generate(lm, prompt, n_new: int, *, params=None, max_t: Optional[int] = None):
+def generate(lm, prompt, n_new: int, *, params=None,
+             max_t: Optional[int] = None, prefill: bool = True):
     """Greedy decode ``n_new`` tokens after ``prompt (B, T0) int32``.
 
     ``lm`` is a :class:`BitTransformerLM` (pass its ``params``) or an
-    :class:`ExportedTransformerLM`. Prefill and decode both run the cached
-    step under ``lax.scan`` — one compile, static cache shapes.
-    Returns ``(B, T0 + n_new)`` tokens.
+    :class:`ExportedTransformerLM`. With ``prefill=True`` (default) the
+    prompt runs as ONE batched forward that fills the caches (the MXU-
+    efficient path — T0 sequential M=1 steps become one M=B·T0 SpMM
+    workload), then the new tokens decode under ``lax.scan`` (one compile,
+    static cache shapes). ``prefill=False`` keeps the pure step-by-step
+    path. Returns ``(B, T0 + n_new)`` tokens.
     """
     if isinstance(lm, BitTransformerLM):
-        cfg, step = lm.cfg, (lambda t, c, p: lm_decode_step(lm, params, t, c, p))
+        cfg = lm.cfg
+        step = lambda t, c, p: lm_decode_step(lm, params, t, c, p)
+        fill = lambda t, c: lm_prefill(lm, params, t, c)
     else:
-        cfg, step = lm.cfg, lm.decode_step
+        cfg, step, fill = lm.cfg, lm.decode_step, lm.prefill
     B, T0 = prompt.shape
     max_t = max_t or (T0 + n_new)
     caches = init_cache(cfg, B, max_t)
+
+    if prefill:
+        logits_all, caches = fill(prompt, caches)
+        first = jnp.argmax(logits_all[:, T0 - 1], axis=-1).astype(prompt.dtype)
+
+        def scan_fn(carry, t):
+            caches, cur = carry
+            logits, caches = step(cur, caches, t)
+            nxt = jnp.argmax(logits, axis=-1).astype(prompt.dtype)
+            return (caches, nxt), cur
+
+        _, gen = jax.lax.scan(scan_fn, (caches, first),
+                              jnp.arange(T0, T0 + n_new))
+        return jnp.concatenate([prompt, gen.T.astype(prompt.dtype)], axis=1)
 
     def scan_fn(carry, t):
         caches, cur = carry

@@ -123,3 +123,40 @@ def test_moe_exported_decode_matches_qat():
         le, c_e = exported.decode_step(toks[:, t], c_e, jnp.asarray(t))
         np.testing.assert_allclose(np.asarray(le), np.asarray(lq),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_prefill_matches_stepwise_decode():
+    """One batched prefill fills the caches identically to T0 sequential
+    decode steps (logits at every prompt position match too)."""
+    from ternary_spgemm_tpu.models.generate import lm_prefill
+
+    model, params, toks = _setup(seed=4)
+    B, T0 = toks.shape
+    c_step = init_cache(CFG, B, T0)
+    step_logits = []
+    for t in range(T0):
+        lg, c_step = lm_decode_step(model, params, toks[:, t], c_step,
+                                    jnp.asarray(t))
+        step_logits.append(np.asarray(lg))
+    pre_logits, c_pre = lm_prefill(model, params, toks,
+                                   init_cache(CFG, B, T0))
+    for t in range(T0):
+        np.testing.assert_allclose(np.asarray(pre_logits[:, t]),
+                                   step_logits[t], rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(c_pre),
+                    jax.tree_util.tree_leaves(c_step)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_generate_prefill_matches_stepwise_generate():
+    """generate(prefill=True) == generate(prefill=False), QAT and exported."""
+    model, params, toks = _setup(seed=5)
+    want = generate(model, toks, 6, params=params, prefill=False)
+    got = generate(model, toks, 6, params=params, prefill=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    exported = ExportedTransformerLM.from_params(model, params, DenseTernary)
+    want_e = generate(exported, toks, 6, prefill=False)
+    got_e = generate(exported, toks, 6, prefill=True)
+    np.testing.assert_array_equal(np.asarray(got_e), np.asarray(want_e))
