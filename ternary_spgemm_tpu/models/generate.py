@@ -49,11 +49,53 @@ def _rotary_at(x, pos, base: float = 10000.0):
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
 
 
-def init_cache(cfg: BitTransformerConfig, batch: int, max_t: int):
-    """Zeroed per-block K/V caches: a list of ``{"k","v"}: (B, H, max_T, hd)``."""
+def init_cache(cfg: BitTransformerConfig, batch: int, max_t: int,
+               dtype=jnp.float32):
+    """Zeroed per-block K/V caches: a list of ``{"k","v"}: (B, H, max_T, hd)``.
+
+    ``dtype=jnp.int8`` stores quantized K/V rows plus per-(token, head)
+    absmax scales (``k_scale``/``v_scale`` (B, H, max_T, 1) f32) — 4×
+    smaller cache and ~3.2× less HBM read per decode step; the only
+    approximation is the int8 rounding of cached rows (the W1.58-A8
+    regime's activation treatment applied to the cache)."""
     hd = cfg.d_model // cfg.n_heads
+    if jnp.dtype(dtype) == jnp.int8:
+        z = jnp.zeros((batch, cfg.n_heads, max_t, hd), jnp.int8)
+        s = jnp.zeros((batch, cfg.n_heads, max_t, 1), jnp.float32)
+        return [{"k": z, "v": z, "k_scale": s, "v_scale": s}
+                for _ in range(cfg.n_layers)]
     z = jnp.zeros((batch, cfg.n_heads, max_t, hd), jnp.float32)
     return [{"k": z, "v": z} for _ in range(cfg.n_layers)]
+
+
+def _quant_rows(x):
+    """Per-row (last-axis) absmax int8 quantization -> (int8, f32 scale)."""
+    s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0 + 1e-12
+    return jnp.round(x / s).astype(jnp.int8), s
+
+
+def _cache_put(cache, k_new, v_new, pos):
+    """Write (possibly quantizing) one-or-more rotated K/V rows at ``pos``;
+    returns (cache', k_view, v_view) where the views are what attention
+    must read (dequantized when the cache is int8, so prefill and stepwise
+    decode see bit-identical values)."""
+    if "k_scale" in cache:
+        kq, ks = _quant_rows(k_new)
+        vq, vs = _quant_rows(v_new)
+        cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kq, (0, 0, pos, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], vq, (0, 0, pos, 0)),
+            "k_scale": jax.lax.dynamic_update_slice(
+                cache["k_scale"], ks, (0, 0, pos, 0)),
+            "v_scale": jax.lax.dynamic_update_slice(
+                cache["v_scale"], vs, (0, 0, pos, 0)),
+        }
+        k_view = cache["k"].astype(jnp.float32) * cache["k_scale"]
+        v_view = cache["v"].astype(jnp.float32) * cache["v_scale"]
+        return cache, k_view, v_view
+    ck = jax.lax.dynamic_update_slice(cache["k"], k_new, (0, 0, pos, 0))
+    cv = jax.lax.dynamic_update_slice(cache["v"], v_new, (0, 0, pos, 0))
+    return {"k": ck, "v": cv}, ck, cv
 
 
 def _cached_attend(n_heads: int, q, k_new, v_new, cache, pos):
@@ -63,13 +105,12 @@ def _cached_attend(n_heads: int, q, k_new, v_new, cache, pos):
     split = lambda z: z.reshape(B, 1, n_heads, hd).transpose(0, 2, 1, 3)
     q, k_new, v_new = split(q), split(k_new), split(v_new)
     q, k_new = _rotary_at(q, pos), _rotary_at(k_new, pos)
-    ck = jax.lax.dynamic_update_slice(cache["k"], k_new, (0, 0, pos, 0))
-    cv = jax.lax.dynamic_update_slice(cache["v"], v_new, (0, 0, pos, 0))
+    cache, ck, cv = _cache_put(cache, k_new, v_new, pos)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, ck) / (hd ** 0.5)
     mask = jnp.arange(ck.shape[2]) <= pos
     logits = jnp.where(mask[None, None, None, :], logits, -jnp.inf)
     out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), cv)
-    return out.transpose(0, 2, 1, 3).reshape(B, 1, d), {"k": ck, "v": cv}
+    return out.transpose(0, 2, 1, 3).reshape(B, 1, d), cache
 
 
 def _block_decode(n_heads: int, lin, norm_attn, norm_ffn, x, cache, pos,
@@ -100,13 +141,15 @@ def _prefill_attend(n_heads: int, q, k, v, cache):
     q, k, v = split(q), split(k), split(v)
     from ternary_spgemm_tpu.models.transformer import rotary_embed
     q, k = rotary_embed(q), rotary_embed(k)
-    ck = jax.lax.dynamic_update_slice(cache["k"], k, (0, 0, 0, 0))
-    cv = jax.lax.dynamic_update_slice(cache["v"], v, (0, 0, 0, 0))
+    # attention reads what the cache stores (int8 caches: the dequantized
+    # rows) so prefill and stepwise decode produce identical logits
+    cache, k_view, v_view = _cache_put(cache, k, v, 0)
+    k, v = k_view[:, :, :T], v_view[:, :, :T]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (hd ** 0.5)
     mask = jnp.tril(jnp.ones((T, T), bool))
     logits = jnp.where(mask, logits, -jnp.inf)
     out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), v)
-    return out.transpose(0, 2, 1, 3).reshape(B, T, d), {"k": ck, "v": cv}
+    return out.transpose(0, 2, 1, 3).reshape(B, T, d), cache
 
 
 def _block_prefill(n_heads: int, lin, norm_attn, norm_ffn, x, cache,
@@ -245,7 +288,8 @@ jax.tree_util.register_pytree_node(
 
 
 def generate(lm, prompt, n_new: int, *, params=None,
-             max_t: Optional[int] = None, prefill: bool = True):
+             max_t: Optional[int] = None, prefill: bool = True,
+             cache_dtype=jnp.float32):
     """Greedy decode ``n_new`` tokens after ``prompt (B, T0) int32``.
 
     ``lm`` is a :class:`BitTransformerLM` (pass its ``params``) or an
@@ -264,7 +308,7 @@ def generate(lm, prompt, n_new: int, *, params=None,
         cfg, step, fill = lm.cfg, lm.decode_step, lm.prefill
     B, T0 = prompt.shape
     max_t = max_t or (T0 + n_new)
-    caches = init_cache(cfg, B, max_t)
+    caches = init_cache(cfg, B, max_t, dtype=cache_dtype)
 
     if prefill:
         logits_all, caches = fill(prompt, caches)

@@ -160,3 +160,38 @@ def test_generate_prefill_matches_stepwise_generate():
     want_e = generate(exported, toks, 6, prefill=False)
     got_e = generate(exported, toks, 6, prefill=True)
     np.testing.assert_array_equal(np.asarray(got_e), np.asarray(want_e))
+
+
+def test_int8_cache_decode_tracks_f32():
+    """int8 KV cache: logits track the f32 cache within activation-
+    quantization tolerance, prefill == stepwise exactly (both read the
+    dequantized rows), and the cache arrays really are int8."""
+    from ternary_spgemm_tpu.models.generate import lm_prefill
+
+    model, params, toks = _setup(seed=6)
+    B, T0 = toks.shape
+    want = model.apply(params, toks)
+
+    c8 = init_cache(CFG, B, T0, dtype=jnp.int8)
+    assert c8[0]["k"].dtype == jnp.int8 and "k_scale" in c8[0]
+    step_logits = []
+    for t in range(T0):
+        lg, c8 = lm_decode_step(model, params, toks[:, t], c8, jnp.asarray(t))
+        step_logits.append(np.asarray(lg))
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(want[:, t]),
+                                   rtol=0.05, atol=0.05)
+
+    pre_logits, _ = lm_prefill(model, params, toks,
+                               init_cache(CFG, B, T0, dtype=jnp.int8))
+    for t in range(T0):
+        np.testing.assert_allclose(np.asarray(pre_logits[:, t]),
+                                   step_logits[t], rtol=2e-4, atol=2e-4)
+
+
+def test_generate_int8_cache_runs_both_backends():
+    model, params, toks = _setup(seed=7)
+    out = generate(model, toks, 4, params=params, cache_dtype=jnp.int8)
+    assert out.shape == (toks.shape[0], toks.shape[1] + 4)
+    exported = ExportedTransformerLM.from_params(model, params, DenseTernary)
+    out_e = generate(exported, toks, 4, cache_dtype=jnp.int8)
+    assert out_e.shape == out.shape
