@@ -6,6 +6,7 @@ The TPU-native analogue of the reference's kernel layer
 ``main.cpp:21-33``) and dispatched via :func:`ternary_spgemm`.
 """
 
+from ternary_spgemm_tpu.ops.autotune import autotune
 from ternary_spgemm_tpu.ops.api import (
     KernelSpec,
     all_kernels,
@@ -19,5 +20,5 @@ from ternary_spgemm_tpu.ops import pallas_kernels  # noqa: F401  (registers kern
 
 __all__ = [
     "KernelSpec", "all_kernels", "get_kernel", "kernels_for_format",
-    "register_kernel", "ternary_spgemm",
+    "register_kernel", "ternary_spgemm", "autotune",
 ]

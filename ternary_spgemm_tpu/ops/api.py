@@ -107,8 +107,13 @@ def ternary_spgemm(X, fmt: TernaryFormat, bias, alpha=None, *,
     """Compute ``Y = X @ W + b`` (optionally PReLU'd) from a ternary container.
 
     If ``kernel`` is None, picks the first registered kernel whose format
-    class matches ``type(fmt)``.
+    class matches ``type(fmt)``. ``kernel="auto"`` measures the candidates
+    once for this (shape, format, activation domain) and memoizes the
+    winner (``ops/autotune.py``; X must be concrete on the first call).
     """
+    if kernel == "auto":
+        from ternary_spgemm_tpu.ops.autotune import autotune
+        kernel = autotune(X, fmt, bias, alpha)
     if kernel is not None:
         spec = get_kernel(kernel)
         if not isinstance(fmt, spec.format_cls):

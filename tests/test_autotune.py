@@ -1,0 +1,71 @@
+"""Autotuner tests: candidate filtering by activation domain, measured
+winner validity, memoization, disk cache, kernel="auto" dispatch."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ternary_spgemm_tpu.formats import (
+    TiledBitplane, generate_bias, generate_ternary, generate_x)
+from ternary_spgemm_tpu.ops import autotune, ternary_spgemm
+from ternary_spgemm_tpu.ops.autotune import _CACHE, candidates_for
+from ternary_spgemm_tpu import reference
+
+
+def _setup():
+    W = generate_ternary(64, 128, 4, seed=0)
+    fmt = TiledBitplane.from_dense(W)
+    X = np.asarray(generate_x(8, 64, seed=1))  # integer-valued, |x|<=512
+    b = np.asarray(generate_bias(128))
+    return W, fmt, X, b
+
+
+def test_candidates_respect_domain():
+    _, fmt, X, _ = _setup()
+    names_int = {s.name for s in candidates_for(fmt, 512.0, True)}
+    names_f32 = {s.name for s in candidates_for(fmt, 512.0, False)}
+    # integer domain admits the _i8 family; float domain must not
+    assert any("_i8" in n for n in names_int)
+    assert not any("_i8" in n or "_x8" in n for n in names_f32)
+    # |x|>512 excludes the i8 split even for integers
+    assert not any("_i8" in n for n in
+                   {s.name for s in candidates_for(fmt, 600.0, True)})
+
+
+def test_autotune_returns_valid_kernel_and_memoizes(tmp_path):
+    W, fmt, X, b = _setup()
+    cache = str(tmp_path / "tune.json")
+    _CACHE.clear()
+    name = autotune(X, fmt, b, min_seconds=0.005, cache_path=cache)
+    cands = {s.name for s in candidates_for(fmt, 512.0, True)}
+    assert name in cands
+    disk = json.load(open(cache))
+    assert list(disk.values()) == [name]
+    # memoized: a second call must not re-measure (poison the registry path
+    # by asserting the in-process cache is hit)
+    assert autotune(X, fmt, b, min_seconds=0.005, cache_path=cache) == name
+
+    # and the result actually computes correctly through dispatch
+    want = np.asarray(reference.dense_gemm(jnp.asarray(X, jnp.float32), W, b))
+    got = np.asarray(ternary_spgemm(jnp.asarray(X, jnp.float32), fmt, b,
+                                    kernel=name))
+    assert reference.compare_results(got, want)
+
+
+def test_kernel_auto_dispatch():
+    _, fmt, X, b = _setup()
+    _CACHE.clear()
+    y = ternary_spgemm(jnp.asarray(X, jnp.float32), fmt, b, kernel="auto")
+    assert y.shape == (8, 128)
+    assert len(_CACHE) == 1
+
+
+def test_autotune_rejects_tracer():
+    import jax
+
+    _, fmt, X, b = _setup()
+    with pytest.raises(ValueError, match="concrete"):
+        jax.jit(lambda x: ternary_spgemm(x, fmt, b, kernel="auto"))(
+            jnp.asarray(X, jnp.float32))
