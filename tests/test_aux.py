@@ -90,3 +90,25 @@ def test_format_diagram_generators(tmp_path):
     assert made == ["bitplane_structure.png", "blocked_tcsc_structure.png",
                     "ell_deposit_structure.png", "tcsc_structure.png"]
     assert all((tmp_path / f).stat().st_size > 10_000 for f in made)
+
+
+def test_lm_train_state_checkpoint_roundtrip(tmp_path):
+    """A full MoE-transformer training state (params + adam moments)
+    checkpoints and restores leaf-exactly."""
+    import optax
+
+    from ternary_spgemm_tpu.models import (
+        BitTransformerConfig, BitTransformerLM)
+
+    cfg = BitTransformerConfig(vocab=16, d_model=16, n_heads=2, d_ff=32,
+                               n_layers=2, moe_experts=2)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(1e-3)
+    state = {"params": params, "opt": opt.init(params), "step": jnp.int32(7)}
+    path = str(tmp_path / "lm_state")
+    checkpoint.save_pytree(path, state)
+    restored = checkpoint.restore_pytree(path, state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
