@@ -55,9 +55,11 @@ def init_cache(cfg: BitTransformerConfig, batch: int, max_t: int,
 
     ``dtype=jnp.int8`` stores quantized K/V rows plus per-(token, head)
     absmax scales (``k_scale``/``v_scale`` (B, H, max_T, 1) f32) — 4×
-    smaller cache and ~3.2× less HBM read per decode step; the only
-    approximation is the int8 rounding of cached rows (the W1.58-A8
-    regime's activation treatment applied to the cache)."""
+    smaller cache; attention converts inside the dot reads and applies the
+    scales outside (:func:`_cache_attn`), so the cache is never
+    materialized at f32. The only approximation is the int8 rounding of
+    cached rows (the W1.58-A8 regime's activation treatment applied to the
+    cache)."""
     hd = cfg.d_model // cfg.n_heads
     if jnp.dtype(dtype) == jnp.int8:
         z = jnp.zeros((batch, cfg.n_heads, max_t, hd), jnp.int8)
@@ -75,14 +77,11 @@ def _quant_rows(x):
 
 
 def _cache_put(cache, k_new, v_new, pos):
-    """Write (possibly quantizing) one-or-more rotated K/V rows at ``pos``;
-    returns (cache', k_view, v_view) where the views are what attention
-    must read (dequantized when the cache is int8, so prefill and stepwise
-    decode see bit-identical values)."""
+    """Write (possibly quantizing) one-or-more rotated K/V rows at ``pos``."""
     if "k_scale" in cache:
         kq, ks = _quant_rows(k_new)
         vq, vs = _quant_rows(v_new)
-        cache = {
+        return {
             "k": jax.lax.dynamic_update_slice(cache["k"], kq, (0, 0, pos, 0)),
             "v": jax.lax.dynamic_update_slice(cache["v"], vq, (0, 0, pos, 0)),
             "k_scale": jax.lax.dynamic_update_slice(
@@ -90,12 +89,42 @@ def _cache_put(cache, k_new, v_new, pos):
             "v_scale": jax.lax.dynamic_update_slice(
                 cache["v_scale"], vs, (0, 0, pos, 0)),
         }
-        k_view = cache["k"].astype(jnp.float32) * cache["k_scale"]
-        v_view = cache["v"].astype(jnp.float32) * cache["v_scale"]
-        return cache, k_view, v_view
     ck = jax.lax.dynamic_update_slice(cache["k"], k_new, (0, 0, pos, 0))
     cv = jax.lax.dynamic_update_slice(cache["v"], v_new, (0, 0, pos, 0))
-    return {"k": ck, "v": cv}, ck, cv
+    return {"k": ck, "v": cv}
+
+
+def _cache_attn(q, cache, T=None, hd_scale=1.0):
+    """Attention logits and value-combine over a (possibly int8) cache;
+    returns ``(logits (B,H,Q,Tc), combine(probs) -> out)``.
+
+    int8 caches are NEVER dequantized into a materialized f32 copy: the
+    ``astype`` feeds a single einsum (XLA fuses the convert into the dot's
+    operand read — the cache's HBM traffic stays 1 byte/element + scales)
+    and the per-row scales apply OUTSIDE the dots, which is the same math
+    distributed: ``q·(c_k s_k) == (q·c_k) s_k`` per key row. Both prefill
+    and stepwise decode use this one formulation, so they stay identical.
+    """
+    quant = "k_scale" in cache
+    ck, cv = cache["k"], cache["v"]
+    if T is not None:
+        ck, cv = ck[:, :, :T], cv[:, :, :T]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q,
+                        ck.astype(jnp.float32)) * hd_scale
+    if quant:
+        ks = cache["k_scale"][..., 0]
+        vs = cache["v_scale"][..., 0]
+        if T is not None:
+            ks, vs = ks[:, :, :T], vs[:, :, :T]
+        logits = logits * ks[:, :, None, :]
+
+        def combine(probs):
+            return jnp.einsum("bhqk,bhkd->bhqd", probs * vs[:, :, None, :],
+                              cv.astype(jnp.float32))
+    else:
+        def combine(probs):
+            return jnp.einsum("bhqk,bhkd->bhqd", probs, cv)
+    return logits, combine
 
 
 def _cached_attend(n_heads: int, q, k_new, v_new, cache, pos):
@@ -105,11 +134,11 @@ def _cached_attend(n_heads: int, q, k_new, v_new, cache, pos):
     split = lambda z: z.reshape(B, 1, n_heads, hd).transpose(0, 2, 1, 3)
     q, k_new, v_new = split(q), split(k_new), split(v_new)
     q, k_new = _rotary_at(q, pos), _rotary_at(k_new, pos)
-    cache, ck, cv = _cache_put(cache, k_new, v_new, pos)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, ck) / (hd ** 0.5)
-    mask = jnp.arange(ck.shape[2]) <= pos
+    cache = _cache_put(cache, k_new, v_new, pos)
+    logits, combine = _cache_attn(q, cache, hd_scale=hd ** -0.5)
+    mask = jnp.arange(cache["k"].shape[2]) <= pos
     logits = jnp.where(mask[None, None, None, :], logits, -jnp.inf)
-    out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), cv)
+    out = combine(jax.nn.softmax(logits, axis=-1))
     return out.transpose(0, 2, 1, 3).reshape(B, 1, d), cache
 
 
@@ -141,14 +170,13 @@ def _prefill_attend(n_heads: int, q, k, v, cache):
     q, k, v = split(q), split(k), split(v)
     from ternary_spgemm_tpu.models.transformer import rotary_embed
     q, k = rotary_embed(q), rotary_embed(k)
-    # attention reads what the cache stores (int8 caches: the dequantized
-    # rows) so prefill and stepwise decode produce identical logits
-    cache, k_view, v_view = _cache_put(cache, k, v, 0)
-    k, v = k_view[:, :, :T], v_view[:, :, :T]
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (hd ** 0.5)
+    # attention reads through the cache (int8 caches: scale-outside-dot,
+    # same formulation as decode) so prefill ≡ stepwise decode exactly
+    cache = _cache_put(cache, k, v, 0)
+    logits, combine = _cache_attn(q, cache, T=T, hd_scale=hd ** -0.5)
     mask = jnp.tril(jnp.ones((T, T), bool))
     logits = jnp.where(mask, logits, -jnp.inf)
-    out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), v)
+    out = combine(jax.nn.softmax(logits, axis=-1))
     return out.transpose(0, 2, 1, 3).reshape(B, T, d), cache
 
 
@@ -169,7 +197,12 @@ def _block_prefill(n_heads: int, lin, norm_attn, norm_ffn, x, cache,
 
 def lm_prefill(model: BitTransformerLM, params, tokens, caches):
     """QAT backend prompt prefill: ``tokens (B, T0) -> (logits (B, T0,
-    vocab), caches')`` — equivalent to T0 decode steps, one forward."""
+    vocab), caches')`` — equivalent to T0 decode steps, one forward.
+
+    MoE caveat: expert capacity is computed from the per-call token count
+    (S=B·T0 here vs S=B per decode step), so the equivalence requires a
+    ``moe_capacity_factor`` large enough that routing never binds in
+    either regime (docs/serving.md)."""
     x = params["embed"][tokens]
     new_caches = []
     for block, p, cache in zip(model.blocks, params["blocks"], caches):

@@ -103,7 +103,9 @@ class BitTransformerConfig:
     # compute dtype for block internals (params/logits stay f32): bf16
     # halves activation HBM traffic and doubles MXU rate; the ternary
     # quantization braces values to gamma*{-1,0,1} so bf16's 8 mantissa
-    # bits cover the QAT regime
+    # bits cover the QAT regime. Applies to the TRAINING forward
+    # (apply/apply_with_aux); the KV-cached decode path (models/generate)
+    # always serves at f32 master numerics by design.
     compute_dtype: str = "float32"
 
     def __post_init__(self):

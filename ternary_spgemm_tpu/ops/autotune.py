@@ -28,29 +28,39 @@ _CACHE: dict = {}
 _LOCK = threading.Lock()
 
 
-def _domain_absmax(X) -> float:
-    """The activation-domain bound used to filter restricted kernels: a
-    concrete X reports its own absmax; traced X gets the conservative
+def _domain(X):
+    """(absmax, integer_valued) of a concrete X — two on-device reductions
+    and two SCALAR readbacks (never a full-array transfer; readbacks are
+    the dominant cost on this tunnel). Tracers report the conservative
     full-f32 domain (only fully-exact kernels qualify)."""
     try:
-        import numpy as np
-        return float(np.max(np.abs(np.asarray(X)))) if X.size else 0.0
-    except Exception:  # tracer
+        Xj = jnp.asarray(X)
+        absmax = float(jnp.max(jnp.abs(Xj))) if Xj.size else 0.0
+        integer = bool(jnp.all(Xj == jnp.round(Xj)))
+        return absmax, integer
+    except jax.errors.TracerArrayConversionError:
+        return float("inf"), False
+
+
+# the registered kernels' x_absmax tiers: the memo key buckets the
+# activation absmax by the next tier up, so every batch in the same
+# exactness domain reuses one probe (keying on the raw absmax would
+# re-measure for every new batch)
+_DOMAIN_TIERS = (127.0, 256.0, 512.0)
+
+
+def _domain_bucket(absmax: float, integer: bool) -> float:
+    if not integer:
         return float("inf")
-
-
-def _is_integer_valued(X) -> bool:
-    try:
-        import numpy as np
-        Xc = np.asarray(X)
-        return bool(np.all(Xc == np.round(Xc)))
-    except Exception:
-        return False
+    for t in _DOMAIN_TIERS:
+        if absmax <= t:
+            return t
+    return float("inf")
 
 
 def _key(fmt, M: int, absmax: float, integer: bool, prelu: bool):
     return (jax.default_backend(), type(fmt).__name__,
-            M, fmt.K, fmt.N, round(absmax, 6), integer, prelu)
+            M, fmt.K, fmt.N, _domain_bucket(absmax, integer), integer, prelu)
 
 
 def candidates_for(fmt, absmax: float, integer: bool):
@@ -85,11 +95,10 @@ def autotune(X, fmt, bias=None, alpha=None, *,
     from ternary_spgemm_tpu.bench.timing import time_device_loop
     from ternary_spgemm_tpu.formats import generate_bias
 
-    absmax = _domain_absmax(X)
-    if absmax == float("inf"):
+    if isinstance(X, jax.core.Tracer):
         raise ValueError("autotune needs a concrete X (got a tracer); "
                          "call it outside jit and pass kernel=<result> in")
-    integer = _is_integer_valued(X)
+    absmax, integer = _domain(X)
     key = _key(fmt, X.shape[0], absmax, integer, alpha is not None)
     skey = "|".join(map(str, key))
 

@@ -57,14 +57,21 @@ def pipeline_apply(stage_fn, stacked_params, x, mesh: Mesh, *,
             m = jnp.clip(i, 0, n_micro - 1)
             feed = jax.lax.dynamic_index_in_dim(xm, m, 0, keepdims=False)
             inp = jnp.where(stage == 0, feed, h)
-            out = stage_fn(params, inp)
+            # pin the carry dtype to the input's: a stage_fn that computes
+            # at a different dtype (e.g. compute_dtype="bfloat16" blocks)
+            # would otherwise fail scan's carry typecheck
+            out = stage_fn(params, inp).astype(xm.dtype)
             h_next = jax.lax.ppermute(out, axis, perm) if perm else out
             return h_next, out
 
         # the carry varies over the pipe axis (each stage holds a different
         # activation); mark the zero initializer accordingly or scan's
         # varying-axes typecheck rejects the ppermute output as carry
-        h0 = jax.lax.pcast(jnp.zeros_like(xm[0]), (axis,), to="varying")
+        h0 = jnp.zeros_like(xm[0])
+        if hasattr(jax.lax, "pcast"):
+            h0 = jax.lax.pcast(h0, (axis,), to="varying")
+        else:  # older spelling (same guard as parallel/spgemm.py)
+            h0 = jax.lax.pvary(h0, (axis,))
         _, outs = jax.lax.scan(body, h0, jnp.arange(steps))
         return outs[None]  # (1, steps, mb, ...) -> global (P, steps, ...)
 
@@ -109,6 +116,9 @@ def _lm_stage_fn(cfg):
     block = BitTransformerBlock(cfg)
 
     def stage(stacked_blocks, h):
+        # blocks compute (and return) at cfg.compute_dtype: cast the scan
+        # carry up-front so its type is stable across iterations
+        h = h.astype(jnp.dtype(cfg.compute_dtype))
         return jax.lax.scan(
             lambda h, p: (block.apply(p, h), None), h, stacked_blocks)[0]
 
@@ -119,7 +129,10 @@ def pipeline_lm_apply(model, params, tokens, mesh: Mesh, *,
                       axis: str = "pipe", n_micro: int):
     """BitTransformerLM forward with its blocks pipeline-parallel over
     ``axis`` (embedding and tied head replicated outside the pipe).
-    Matches ``model.apply(params, tokens)`` exactly."""
+    Matches ``model.apply(params, tokens)`` exactly — for MoE-FFN configs
+    only while expert capacity never binds (each microbatch routes
+    S=(B/n_micro)·T tokens vs the plain forward's S=B·T, so a binding
+    capacity would drop different tokens; see docs/serving.md)."""
     from ternary_spgemm_tpu.models.transformer import rms_norm
 
     Pn = mesh.shape[axis]

@@ -103,3 +103,19 @@ def test_pipeline_composes_with_moe_blocks():
                                                  n_micro=2))(params, toks)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_composes_with_bf16_compute():
+    """Regression: bf16-compute blocks return a different dtype than the
+    f32 scan carries; the pipeline pins carry dtypes so this works."""
+    cfg = BitTransformerConfig(vocab=32, d_model=16, n_heads=2, d_ff=32,
+                               n_layers=4, compute_dtype="bfloat16")
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(13))
+    toks = jax.random.randint(jax.random.key(14), (4, 8), 0, cfg.vocab)
+    mesh = make_mesh({"pipe": 2})
+    want = model.apply(params, toks)
+    got = jax.jit(lambda p, t: pipeline_lm_apply(model, p, t, mesh,
+                                                 n_micro=2))(params, toks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.05, atol=0.05)

@@ -115,8 +115,10 @@ def _model_scaling(args, counts):
             mesh = make_mesh({"pipe": d})
             fn = jax.jit(lambda p, t: pipeline_lm_apply(
                 model, p, t, mesh, n_micro=n_micro))
-            t = time_device_loop(lambda tk: fn(params, tk), toks,
-                                 min_seconds=0.1)
+            # params ride as aux (jit arguments) — closure capture would
+            # inline them as HLO literals (bench/timing.py docstring)
+            t = time_device_loop(lambda tk, p: fn(p, tk), toks,
+                                 aux=(params,), min_seconds=0.1)
             bound = n_micro / (n_micro + d - 1)
         else:
             from ternary_spgemm_tpu.models import (
@@ -132,7 +134,7 @@ def _model_scaling(args, counts):
             ep = NamedSharding(mesh, P("expert", None, None))
             x = jax.random.normal(jax.random.key(1), (256 * d, cfg.d_model))
             fn = jax.jit(lambda p, z: moe.apply(p, z, expert_sharding=ep)[0])
-            t = time_device_loop(lambda z: fn(params, z), x,
+            t = time_device_loop(lambda z, p: fn(p, z), x, aux=(params,),
                                  min_seconds=0.1)
             bound = 1.0
         eff = (results[0]["seconds"] / t.seconds) if results else 1.0
