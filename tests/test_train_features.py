@@ -129,3 +129,21 @@ def test_zero1_respects_param_sharding():
     w = mu["blocks"][0]["wq"]["w"]
     # column-parallel wq: P(None, "model") -> zero1 must put data on axis 0
     assert w.sharding.spec == jax.sharding.PartitionSpec("data", "model")
+
+
+def test_zero1_with_moe_experts():
+    """zero1 composes with expert-parallel MoE params: expert moment
+    stacks keep their leading-E model sharding and gain a data axis."""
+    mesh = make_mesh({"data": 2, "model": 4})
+    cfg = BitTransformerConfig(**BASE, moe_experts=4,
+                               moe_capacity_factor=4.0)
+    model, params, toks = _setup(cfg)
+    opt = optax.adam(1e-2)
+    step, place = make_sharded_lm_train_step(model, opt, mesh, zero1=True,
+                                             sequence_parallel=True)
+    p, s, t = place(params, opt.init(params), toks)
+    mu = s[0].mu
+    wg = mu["blocks"][0]["moe"]["w_gate"]  # (E, d, ff), spec P(model,)
+    assert wg.sharding.spec[0] == "model" and "data" in tuple(wg.sharding.spec)
+    p, s, loss = step(p, s, t)
+    assert np.isfinite(float(loss))
