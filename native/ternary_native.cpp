@@ -212,4 +212,41 @@ void tcsc_fill(const int8_t* W, int64_t K, int64_t N, int32_t* csp,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// TiledBitplane packer — bit-exact vs formats/bitplane.py::from_dense.
+//
+// Layout: plane (nb, gn, 2*tkb, tile_n) uint8 (pos byte-rows then neg),
+// wsum (nb, gn, 1, tile_n) int32. Dense row r of a B=8*tkb block maps to
+// (byte-row t, bit j) per bitplane_rowmap: r<4tkb -> (r/4, r%4), else
+// ((r-4tkb)/4, (r-4tkb)%4+4). Buffers must arrive zeroed (K/N padding
+// contributes nothing).
+// ---------------------------------------------------------------------------
+
+void pack_bitplane(const int8_t* W, int64_t K, int64_t N, int64_t tkb,
+                   int64_t tile_n, int64_t gn, uint8_t* plane,
+                   int32_t* wsum) {
+  const int64_t B = 8 * tkb;
+  for (int64_t k = 0; k < K; k++) {
+    const int64_t sb = k / B, r = k % B;
+    const int64_t t = (r < 4 * tkb) ? r / 4 : (r - 4 * tkb) / 4;
+    const int64_t j = (r < 4 * tkb) ? r % 4 : (r - 4 * tkb) % 4 + 4;
+    const uint8_t bit = (uint8_t)(1u << j);
+    const int8_t* row = W + k * N;
+    for (int64_t n = 0; n < N; n++) {
+      const int8_t v = row[n];
+      if (v == 0) continue;
+      const int64_t g = n / tile_n, c = n % tile_n;
+      uint8_t* tile = plane + (((sb * gn + g) * 2 * tkb) + t) * tile_n;
+      if (v == 1) {
+        tile[c] |= bit;
+      } else {
+        tile[tkb * tile_n + c] |= bit;
+      }
+      wsum[(sb * gn + g) * tile_n + c] += v;
+    }
+  }
+}
+
 }  // extern "C"
+

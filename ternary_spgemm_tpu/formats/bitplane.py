@@ -87,6 +87,16 @@ class TiledBitplane(TernaryFormat):
         K, N = W.shape
         B = 8 * tkb
         tile_n = min(tile_n, round_up(N, 128))
+        if K * N >= (1 << 20):
+            # the native packer is ~50x the numpy path on this class of
+            # host (CLAUDE.md); bit-exact equivalence property-tested in
+            # tests/test_native.py
+            from ternary_spgemm_tpu import native
+            packed = native.pack_bitplane(W, tkb, tile_n)
+            if packed is not None:
+                plane, wsum = packed
+                return cls(plane=plane, wsum=wsum, K=K, N=N, tkb=tkb,
+                           tile_n=tile_n)
         Kp, Np = round_up(K, B), round_up(N, tile_n)
         Wp = np.zeros((Kp, Np), np.int8)
         Wp[:K, :N] = W

@@ -50,6 +50,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.pack_base3.argtypes = [p8, i64, i64, pu8]
     lib.tcsc_count.argtypes = [p8, i64, i64, p64, p64]
     lib.tcsc_fill.argtypes = [p8, i64, i64, p32, p32, p32, p32, p32, p32]
+    try:
+        lib.pack_bitplane.argtypes = [p8, i64, i64, i64, i64, i64, pu8, p32]
+    except AttributeError:  # stale .so predating the bitplane packer
+        pass
     _lib = lib
     return lib
 
@@ -117,6 +121,25 @@ def pack_base3(W: np.ndarray) -> np.ndarray:
     out = np.empty(((K + 4) // 5, N), np.uint8)
     lib.pack_base3(W, K, N, out)
     return out
+
+
+def pack_bitplane(W: np.ndarray, tkb: int, tile_n: int):
+    """(plane, wsum) arrays of TiledBitplane's layout; bit-exact vs
+    formats/bitplane.py's numpy packer (property-tested). Returns None when
+    the native core is unavailable (callers fall back to numpy)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pack_bitplane"):
+        return None
+    W = np.ascontiguousarray(W, np.int8)
+    K, N = W.shape
+    B = 8 * tkb
+    Kp = -(-K // B) * B
+    Np = -(-N // tile_n) * tile_n
+    nb, gn = Kp // B, Np // tile_n
+    plane = np.zeros((nb, gn, 2 * tkb, tile_n), np.uint8)
+    wsum = np.zeros((nb, gn, 1, tile_n), np.int32)
+    lib.pack_bitplane(W, K, N, tkb, tile_n, gn, plane, wsum)
+    return plane, wsum
 
 
 def tcsc_arrays(W: np.ndarray):

@@ -73,3 +73,20 @@ def test_gen_x_range_and_determinism():
     assert X.min() >= -512 and X.max() <= 512
     assert np.all(X == np.round(X))
     np.testing.assert_array_equal(X, native.gen_x(64, 128, seed=3))
+
+
+def test_pack_bitplane_matches_numpy():
+    """Native bitplane packer == the numpy from_dense path, including
+    K/N padding and wsum, over odd shapes."""
+    from ternary_spgemm_tpu.formats.bitplane import TiledBitplane
+
+    for (K, N, tkb, tn, seed) in [(64, 128, 4, 128, 0), (100, 200, 4, 128, 1),
+                                  (257, 300, 8, 128, 2), (512, 512, 32, 256, 3)]:
+        W = np.asarray(generate_ternary(K, N, 4, seed=seed))
+        got = native.pack_bitplane(W, tkb, tn)
+        assert got is not None
+        plane, wsum = got
+        # numpy reference: force the pure-numpy branch (small sizes do)
+        ref = TiledBitplane.from_dense(W, tkb=tkb, tile_n=tn)
+        np.testing.assert_array_equal(plane, ref.plane)
+        np.testing.assert_array_equal(wsum, ref.wsum)
