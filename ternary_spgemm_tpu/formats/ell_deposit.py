@@ -130,6 +130,16 @@ class TiledEllDeposit(TernaryFormat):
             raise ValueError(f"tile_n={tile_n} must be a multiple of 128")
         Np = round_up(N, tile_n)
         gn = Np // tile_n
+        if K * N >= (1 << 20):
+            # native packer (~100x this host's numpy path; bit-exactness
+            # property-tested in tests/test_native.py)
+            from ternary_spgemm_tpu import native
+            packed = native.ell_deposit_arrays(W, tile_n)
+            if packed is not None:
+                plane, cp, cm, wsum = packed
+                return cls(plane=plane, cap_pos=cp, cap_neg=cm, wsum=wsum,
+                           K=K, N=N, tile_n=tile_n,
+                           cap_p_max=max(int(cp.max()), 1))
 
         def planes(value):
             mask = np.zeros((nsb * SB_ROWS, Np), bool)

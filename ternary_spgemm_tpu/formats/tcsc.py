@@ -72,6 +72,16 @@ class TCSC(TernaryFormat):
     def from_dense(cls, W: np.ndarray) -> "TCSC":
         W = _as_int8_dense(W)
         K, N = W.shape
+        if K * N >= (1 << 20):
+            # the C++ builder is bit-exact vs _csc_arrays (tested in
+            # tests/test_native.py) and ~an order of magnitude faster on
+            # this host class
+            from ternary_spgemm_tpu import native
+            if native.native_available():
+                csp, csn, rip, rin, cip, cin = native.tcsc_arrays(W)
+                return cls(col_start_pos=csp, col_start_neg=csn,
+                           row_index_pos=rip, row_index_neg=rin,
+                           col_ids_pos=cip, col_ids_neg=cin, K=K, N=N)
         csp, rip, cip = _csc_arrays(W, 1)
         csn, rin, cin = _csc_arrays(W, -1)
         return cls(col_start_pos=csp, col_start_neg=csn,

@@ -52,7 +52,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tcsc_fill.argtypes = [p8, i64, i64, p32, p32, p32, p32, p32, p32]
     try:
         lib.pack_bitplane.argtypes = [p8, i64, i64, i64, i64, i64, pu8, p32]
-    except AttributeError:  # stale .so predating the bitplane packer
+        lib.ell_deposit_caps.argtypes = [p8, i64, i64, i64, i64, p32, p32]
+        lib.ell_deposit_fill.argtypes = [p8, i64, i64, i64, i64, i64, i64,
+                                         p8, p32]
+    except AttributeError:  # stale .so predating the round-2 packers
         pass
     _lib = lib
     return lib
@@ -140,6 +143,31 @@ def pack_bitplane(W: np.ndarray, tkb: int, tile_n: int):
     wsum = np.zeros((nb, gn, 1, tile_n), np.int32)
     lib.pack_bitplane(W, K, N, tkb, tile_n, gn, plane, wsum)
     return plane, wsum
+
+
+def ell_deposit_arrays(W: np.ndarray, tile_n: int):
+    """(plane, cap_pos, cap_neg, wsum) of TiledEllDeposit's layout;
+    bit-exact vs formats/ell_deposit.py's numpy packer (property-tested).
+    Returns None when the native core lacks the packers."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ell_deposit_caps"):
+        return None
+    W = np.ascontiguousarray(W, np.int8)
+    K, N = W.shape
+    SB, WORD_ROWS = 248, 31
+    nsb = -(-K // SB)
+    Np = -(-N // tile_n) * tile_n
+    gn = Np // tile_n
+    cap_pos = np.zeros((nsb, gn), np.int32)
+    cap_neg = np.zeros((nsb, gn), np.int32)
+    lib.ell_deposit_caps(W, K, N, tile_n, gn, cap_pos, cap_neg)
+    cap_p = max(int(cap_pos.max()), 1)
+    cap_n = max(int(cap_neg.max()), 1)
+    R = 8 * (cap_p + cap_n)
+    plane = np.full((nsb, gn, R, tile_n), WORD_ROWS, np.int8)
+    wsum = np.zeros((nsb, gn, 1, tile_n), np.int32)
+    lib.ell_deposit_fill(W, K, N, tile_n, gn, cap_p, cap_n, plane, wsum)
+    return plane, cap_pos, cap_neg, wsum
 
 
 def tcsc_arrays(W: np.ndarray):

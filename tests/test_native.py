@@ -90,3 +90,22 @@ def test_pack_bitplane_matches_numpy():
         ref = TiledBitplane.from_dense(W, tkb=tkb, tile_n=tn)
         np.testing.assert_array_equal(plane, ref.plane)
         np.testing.assert_array_equal(wsum, ref.wsum)
+
+
+def test_ell_deposit_arrays_match_numpy():
+    """Native ELL-deposit packer == the numpy from_dense path (plane slot
+    order, caps, wsum), incl. K/N padding and an empty-sign edge."""
+    from ternary_spgemm_tpu.formats.ell_deposit import TiledEllDeposit
+
+    cases = [(64, 128, 4, 128, 0), (300, 200, 2, 128, 1),
+             (497, 300, 8, 128, 2), (992, 512, 16, 256, 3)]
+    for (K, N, s, tn, seed) in cases:
+        W = np.asarray(generate_ternary(K, N, s, seed=seed))
+        got = native.ell_deposit_arrays(W, tn)
+        assert got is not None
+        plane, cp, cm, wsum = got
+        ref = TiledEllDeposit.from_dense(W, tile_n=tn)
+        np.testing.assert_array_equal(plane, ref.plane)
+        np.testing.assert_array_equal(cp, ref.cap_pos)
+        np.testing.assert_array_equal(cm, ref.cap_neg)
+        np.testing.assert_array_equal(wsum, ref.wsum)
