@@ -1,9 +1,11 @@
 """Checkpoint / resume for models and ternary containers.
 
 Net-new vs the reference (its only persistence is benchmark JSONs,
-SURVEY.md §5): save/restore of (a) training state (params + optimizer state)
-and (b) exported inference bundles (ternary container + scale + bias/alpha),
-via orbax-checkpoint when available with a numpy ``.npz`` fallback so the
+SURVEY.md §5): save/restore of (a) training state (params + optimizer state),
+(b) exported inference bundles (ternary container + scale + bias/alpha), and
+(c) whole-LM serving bundles (:func:`save_lm_bundle` — one self-describing
+file per ExportedTransformerLM; CLI: ``tools/export_model.py``), via
+orbax-checkpoint when available with a numpy ``.npz`` fallback so the
 capability never silently disappears.
 
 Containers are pytrees whose static aux data (K, N, tile sizes) must
@@ -92,6 +94,113 @@ def save_container(path: str, fmt: TernaryFormat, *, gamma: float = 1.0,
     arrays["header"] = np.frombuffer(
         json.dumps(header).encode(), dtype=np.uint8)
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+
+
+def _fmt_record(fmt: TernaryFormat, prefix: str, arrays: dict) -> dict:
+    """Serialize one container under ``prefix`` into ``arrays``; return its
+    JSON header (class name + static aux), mirroring :func:`save_container`."""
+    import dataclasses
+    cls = type(fmt)
+    for name in cls.ARRAY_FIELDS:
+        arrays[f"{prefix}.{name}"] = np.asarray(getattr(fmt, name))
+    static = {f.name: getattr(fmt, f.name) for f in dataclasses.fields(cls)
+              if f.name not in cls.ARRAY_FIELDS}
+    return {"format": cls.__name__, "static": static}
+
+
+def _fmt_restore(header: dict, prefix: str, data) -> TernaryFormat:
+    cls = all_formats()[header["format"]]
+    kwargs = {name: data[f"{prefix}.{name}"] for name in cls.ARRAY_FIELDS}
+    kwargs.update(header["static"])
+    return cls(**kwargs)
+
+
+def _linear_record(lin, prefix: str, arrays: dict) -> dict:
+    hdr = {"fmt": _fmt_record(lin.fmt, f"{prefix}.fmt", arrays),
+           "fmt_t": _fmt_record(lin.fmt_t, f"{prefix}.fmt_t", arrays),
+           "gamma": float(lin.gamma), "kernel": lin.kernel,
+           "has_alpha": lin.alpha is not None}
+    arrays[f"{prefix}.bias"] = np.asarray(lin.bias)
+    if lin.alpha is not None:
+        arrays[f"{prefix}.alpha"] = np.asarray(lin.alpha)
+    return hdr
+
+
+def _linear_restore(hdr: dict, prefix: str, data):
+    from ternary_spgemm_tpu.models.exported import ExportedBitLinear
+    return ExportedBitLinear(
+        _fmt_restore(hdr["fmt"], f"{prefix}.fmt", data),
+        _fmt_restore(hdr["fmt_t"], f"{prefix}.fmt_t", data),
+        hdr["gamma"], data[f"{prefix}.bias"],
+        data[f"{prefix}.alpha"] if hdr["has_alpha"] else None,
+        kernel=hdr["kernel"])
+
+
+def save_lm_bundle(path: str, lm) -> None:
+    """Save an :class:`~ternary_spgemm_tpu.models.generate.ExportedTransformerLM`
+    as ONE self-describing ``.npz`` serving bundle.
+
+    Self-describing means loadable without the training-time model object or
+    params tree (unlike :func:`restore_pytree`, which needs a ``like``
+    skeleton — impossible to rebuild for sparse-stream containers whose array
+    shapes depend on the trained weights' nnz). The JSON header records the
+    transformer config, and per linear the container class + static aux +
+    gamma + kernel choice; arrays are keyed by field path.
+    """
+    import dataclasses
+    cfg = lm.cfg
+    arrays: dict = {"embed": np.asarray(lm.embed),
+                    "norm_out": np.asarray(lm.norm_out)}
+    blocks_hdr = []
+    for i, blk in enumerate(lm.blocks):
+        bh = {"linears": {}}
+        for name, lin in blk.linears.items():
+            bh["linears"][name] = _linear_record(lin, f"b{i}.{name}", arrays)
+        arrays[f"b{i}.norm_attn"] = np.asarray(blk.norm_attn)
+        arrays[f"b{i}.norm_ffn"] = np.asarray(blk.norm_ffn)
+        if blk.moe is not None:
+            arrays[f"b{i}.moe.router"] = np.asarray(blk.moe.router)
+            bh["moe"] = [{n: _linear_record(ex[n], f"b{i}.moe.e{e}.{n}", arrays)
+                          for n in ("w_gate", "w_up", "w_down")}
+                         for e, ex in enumerate(blk.moe.experts)]
+        blocks_hdr.append(bh)
+    header = {"version": 1, "cfg": dataclasses.asdict(cfg),
+              "blocks": blocks_hdr}
+    arrays["header"] = np.frombuffer(json.dumps(header).encode(),
+                                     dtype=np.uint8)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+
+
+def load_lm_bundle(path: str):
+    """Load a serving bundle -> ``ExportedTransformerLM`` (no training-time
+    objects needed; the file is self-describing)."""
+    from ternary_spgemm_tpu.models.generate import ExportedTransformerLM
+    from ternary_spgemm_tpu.models.moe import BitMoEConfig, ExportedMoE
+    from ternary_spgemm_tpu.models.transformer import (
+        BitTransformerConfig, ExportedTransformerBlock)
+
+    p = path if path.endswith(".npz") else path + ".npz"
+    data = np.load(p)
+    header = json.loads(bytes(data["header"]).decode())
+    cfg = BitTransformerConfig(**header["cfg"])
+    blocks = []
+    for i, bh in enumerate(header["blocks"]):
+        linears = {name: _linear_restore(h, f"b{i}.{name}", data)
+                   for name, h in bh["linears"].items()}
+        moe = None
+        if "moe" in bh:
+            experts = [{n: _linear_restore(eh[n], f"b{i}.moe.e{e}.{n}", data)
+                        for n in ("w_gate", "w_up", "w_down")}
+                       for e, eh in enumerate(bh["moe"])]
+            moe = ExportedMoE(
+                BitMoEConfig(cfg.d_model, cfg.d_ff, cfg.moe_experts,
+                             top_k=cfg.moe_top_k,
+                             capacity_factor=cfg.moe_capacity_factor),
+                data[f"b{i}.moe.router"], experts)
+        blocks.append(ExportedTransformerBlock(
+            cfg, linears, data[f"b{i}.norm_attn"], data[f"b{i}.norm_ffn"],
+            moe))
+    return ExportedTransformerLM(cfg, blocks, data["embed"], data["norm_out"])
 
 
 def load_container(path: str):

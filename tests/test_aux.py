@@ -112,3 +112,83 @@ def test_lm_train_state_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lm_serving_bundle_roundtrip(tmp_path):
+    """save_lm_bundle/load_lm_bundle: a self-describing one-file serving
+    bundle reproduces the exported LM's logits and greedy decode exactly —
+    dense-FFN and MoE-FFN configs, no training-time objects at load."""
+    from ternary_spgemm_tpu.formats import DenseTernary
+    from ternary_spgemm_tpu.models import (
+        BitTransformerConfig, BitTransformerLM)
+    from ternary_spgemm_tpu.models.generate import (
+        ExportedTransformerLM, generate)
+
+    for tag, kw in [("dense", {}), ("moe", {"moe_experts": 2})]:
+        cfg = BitTransformerConfig(vocab=32, d_model=16, n_heads=2, d_ff=32,
+                                   n_layers=2, **kw)
+        model = BitTransformerLM(cfg)
+        params = model.init(jax.random.key(3))
+        kern = "DenseMXU" if tag == "dense" else None
+        lm = ExportedTransformerLM.from_params(
+            model, params, DenseTernary, kernel=kern)
+        path = str(tmp_path / f"bundle_{tag}")
+        checkpoint.save_lm_bundle(path, lm)
+        lm2 = checkpoint.load_lm_bundle(path)
+
+        toks = jax.random.randint(jax.random.key(4), (2, 6), 0, cfg.vocab)
+        np.testing.assert_allclose(np.asarray(lm(toks)),
+                                   np.asarray(lm2(toks)), rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(generate(lm, toks, 3)),
+            np.asarray(generate(lm2, toks, 3)))
+        # kernel choice survives the round-trip
+        blk = lm2.blocks[0].linears["wq"]
+        assert blk.kernel == kern
+
+
+def test_export_model_cli_roundtrip(tmp_path):
+    """tools/export_model.py: train-state checkpoint -> bundle -> decode,
+    matching the in-process generate() exactly."""
+    import json
+
+    import optax
+
+    from ternary_spgemm_tpu.formats import DenseTernary
+
+    from tools import export_model
+    from ternary_spgemm_tpu.models import (
+        BitTransformerConfig, BitTransformerLM)
+    from ternary_spgemm_tpu.models.generate import (
+        ExportedTransformerLM, generate)
+
+    cfg_kw = dict(vocab=32, d_model=16, n_heads=2, d_ff=32, n_layers=2)
+    cfg = BitTransformerConfig(**cfg_kw)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(5))
+    state = {"params": params, "opt": optax.adam(1e-3).init(params),
+             "step": 0}
+    ckpt = str(tmp_path / "state")
+    checkpoint.save_pytree(ckpt, state)
+    cfg_json = tmp_path / "cfg.json"
+    cfg_json.write_text(json.dumps(cfg_kw))
+
+    bundle = str(tmp_path / "bundle.npz")
+    rc = export_model.main(["export", "--checkpoint", ckpt,
+                            "--cfg", str(cfg_json),
+                            "--format", "DenseTernary", "--out", bundle])
+    assert rc == 0
+
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = export_model.main(["generate", "--bundle", bundle,
+                                "--prompt", "1 2 3", "--new-tokens", "4"])
+    assert rc == 0
+    got = [int(t) for t in buf.getvalue().strip().split()]
+
+    lm = ExportedTransformerLM.from_params(model, params, DenseTernary)
+    want = np.asarray(generate(
+        lm, jnp.asarray([[1, 2, 3]], jnp.int32), 4))[0, 3:].tolist()
+    assert got == want
