@@ -21,8 +21,9 @@ TPU complications it never had, and how this module handles them:
   perturbation O(row) even for large activation matrices), amortizing one
   dispatch over the whole run; (b) the per-iteration
   time is the **slope** between a run of n and a run of n/2 iterations, so
-  any fixed per-call overhead cancels exactly. The median of three slope
-  measurements rejects jitter spikes.
+  any fixed per-call overhead cancels exactly. The smallest agreeing pair
+  of slope samples rejects both single spikes and sustained tunnel-stall
+  windows (see the noise-model comment in ``time_device_loop``).
 * **Compilation caching** — the first call compiles (tens of seconds on
   TPU) and the first readback initializes the transfer path (minutes on a
   tunneled device); both are excluded by the warm-up fetch, exactly like the
@@ -142,21 +143,38 @@ def time_device_loop(fn: Callable, x, *, aux=(), min_seconds: float = MIN_SECOND
     diffs = [t_n - t_half]
     for _ in range(2):
         diffs.append(t_at(n) - t_at(n // 2))
-    # Tunnel jitter occasionally spikes a single measurement by 2-20x, which
-    # can drive (t(n) - t(n/2)) NEGATIVE; a negative median then collapsed to
-    # the 1e-9 clamp and reported picosecond "kernel times" (observed once in
-    # the canonical sweep: 62 ps for a 134-GMAC matmul). Slopes must be
-    # positive to mean anything: re-sample while the median is contaminated,
-    # and if the slope never stabilizes fall back to the amortized t(n)/n —
-    # an upper bound (it still contains one dispatch, amortized over n >= 16
-    # iterations), which errs slow instead of absurdly fast.
-    pos = [d for d in diffs if d > 0]
+
+    # Noise model (both observed on this tunnel, 2026-08-18): (a) single
+    # 2-20x spikes, which can even drive (t(n) - t(n/2)) NEGATIVE — a
+    # negative median once collapsed to the clamp and reported 62 ps for a
+    # 134-GMAC matmul; (b) SUSTAINED slow windows of several seconds (the
+    # tunnel is one Python relay process; network backpressure stalls every
+    # reading in the window), which contaminate ALL of a median-of-3 — a
+    # 186 us kernel once recorded as 76 ms. Defense: hardware-deterministic
+    # kernels cluster tightly at the true time, so take the SMALLEST
+    # AGREEING PAIR of positive diffs (within 25%) as the estimate —
+    # contaminated samples scatter and a spuriously-small diff (stall on
+    # the n/2 side) almost never finds a partner. Re-sample until a pair
+    # agrees; if none ever does, fall back to the median of positive diffs,
+    # then to the amortized t(n)/n upper bound (errs slow, never absurdly
+    # fast).
+    def smallest_agreeing_pair(ds):
+        pos = sorted(d for d in ds if d > 1e-4)
+        for a, b in zip(pos, pos[1:]):
+            if b <= 1.25 * a:
+                return (a + b) / 2
+        return None
+
+    est = smallest_agreeing_pair(diffs)
     retries = 0
-    while (len(pos) < 2 or statistics.median(pos) < min_seconds / 4) and retries < 4:
-        d2 = t_at(n) - t_at(n // 2)
-        if d2 > 0:
-            pos.append(d2)
+    while est is None and retries < 5:
+        diffs.append(t_at(n) - t_at(n // 2))
+        est = smallest_agreeing_pair(diffs)
         retries += 1
+    if est is not None:
+        return TimingResult(seconds=est / (n - n // 2), runs=n,
+                            total_seconds=t_n)
+    pos = [d for d in diffs if d > 0]
     if len(pos) >= 2:
         d = statistics.median(pos)
         return TimingResult(seconds=d / (n - n // 2), runs=n, total_seconds=t_n)
