@@ -51,6 +51,12 @@ class KernelSpec:
     #: int8-native-activation (_x8) kernels are exact only for |x| <= 127
     #: (the BitNet a8 regime) and CLAMP outside it. None = any float.
     x_absmax: Optional[int] = None
+    #: Activation bytes per X element the kernel's compute stage streams
+    #: from HBM (the *own-bytes* roofline input): 4 for f32 kernels, 2 for
+    #: bf16 operands and for the stacked int8-split (a8 + r8), 1 for
+    #: int8-native (_x8). Round-2 modeled 4 B for everyone, flattering the
+    #: sub-4-byte kernels' roofline fractions (VERDICT.md round-2 weak #4).
+    x_bytes: float = 4.0
 
     def __call__(self, X, fmt, bias, alpha=None):
         return self.fn(X, fmt, bias, alpha)
@@ -59,7 +65,7 @@ class KernelSpec:
 def register_kernel(name: str, format_cls: Type[TernaryFormat], *,
                     description: str = "", reference: str = "",
                     tpu_only: bool = False, approximate: bool = False,
-                    x_absmax: Optional[int] = None):
+                    x_absmax: Optional[int] = None, x_bytes: float = 4.0):
     """Decorator: register a kernel under ``name`` (``add_function`` analogue)."""
 
     def deco(fn):
@@ -68,7 +74,7 @@ def register_kernel(name: str, format_cls: Type[TernaryFormat], *,
         _KERNEL_REGISTRY[name] = KernelSpec(
             name=name, fn=fn, format_cls=format_cls, description=description,
             reference=reference, tpu_only=tpu_only, approximate=approximate,
-            x_absmax=x_absmax)
+            x_absmax=x_absmax, x_bytes=x_bytes)
         return fn
 
     return deco

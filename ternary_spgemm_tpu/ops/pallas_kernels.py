@@ -157,7 +157,7 @@ def pallas_dense_kernel(X, fmt: DenseTernary, bias, alpha=None, **tiles):
 @register_kernel(
     "PallasDense_bf16", DenseTernary,
     description="tiled fused bf16 MXU matmul (inexact for |X|>256)",
-    approximate=True)
+    approximate=True, x_bytes=2.0)
 def pallas_dense_bf16_kernel(X, fmt: DenseTernary, bias, alpha=None, **tiles):
     return _dense_fused(X, fmt.dense, bias, alpha, bf16=True, **tiles)
 
@@ -394,7 +394,7 @@ def _dense_i8_fused(X, Wd, bias, alpha, *, tm: int = 256, tn: int = 1024,
                 "integer activations |x|<=512 at 2x bf16 MXU rate",
     reference="strategy inversion of cpp_impl/comp.h; activation domain "
               "matches perf.cpp:301 (initX +-512)",
-    x_absmax=512)
+    x_absmax=512, x_bytes=2.0)
 def pallas_dense_i8_kernel(X, fmt: DenseTernary, bias, alpha=None, **tiles):
     return _dense_i8_fused(X, fmt.dense, bias, alpha, **tiles)
 
@@ -475,7 +475,7 @@ def _packed_i8_fused(X, packed, K: int, N: int, factor: int, bias, alpha, *,
     description="2-bit decode -> int8-split MXU dots (exact for integer "
                 "activations |x|<=512); the flagship exact kernel",
     reference="readme.md:108-111 roadmap codec; activation domain perf.cpp:301",
-    x_absmax=512)
+    x_absmax=512, x_bytes=2.0)
 def pallas_packed2_i8_kernel(X, fmt: PackedTernary2Bit, bias, alpha=None, **tiles):
     return _packed_i8_fused(X, fmt.packed, X.shape[1], fmt.N, fmt.FACTOR, bias,
                             alpha, base3=False, **tiles)
@@ -486,7 +486,7 @@ def pallas_packed2_i8_kernel(X, fmt: PackedTernary2Bit, bias, alpha=None, **tile
     description="base-3 decode (strength-reduced) -> int8-split MXU dots "
                 "(exact for integer activations |x|<=512)",
     reference="readme.md:108-111 ('8 bits for 5 values')",
-    x_absmax=512)
+    x_absmax=512, x_bytes=2.0)
 def pallas_packed53_i8_kernel(X, fmt: PackedTernary53, bias, alpha=None, **tiles):
     return _packed_i8_fused(X, fmt.packed, X.shape[1], fmt.N, fmt.FACTOR, bias,
                             alpha, base3=True, **tiles)
@@ -569,7 +569,7 @@ def _blockpacked_i8s_kernel(ar_ref, p_ref, b_ref, al_ref, o_ref,
                 "(exact for integer activations |x|<=512); flagship kernel",
     reference="readme.md:108-111 roadmap codec + BlockedTCSC.h cache-coupled "
               "blocking, fused epilogue comp_prelu.h:12-70",
-    x_absmax=512)
+    x_absmax=512, x_bytes=2.0)
 def pallas_blockpacked_i8_kernel(X, fmt: BlockPackedTernary, bias, alpha=None,
                                  *, tm: int = 256, tn: int = 1024,
                                  stacked: bool = False):
@@ -748,7 +748,7 @@ def _choose_tiles(M: int, K: int, N: int, tile_n: int, cell_bytes: int,
                 "activations |x|<=512)",
     reference="strategy inversion of cpp_impl/comp.h; HBM-resident buffer "
               "layout per BASELINE.json north star",
-    x_absmax=512)
+    x_absmax=512, x_bytes=2.0)
 def pallas_tiled_dense_i8_kernel(X, fmt: TiledDenseTernary, bias, alpha=None):
     M = X.shape[0]
     TK, TN = fmt.tile_k, fmt.tile_n
@@ -792,7 +792,7 @@ def _tiled_dense_x8_kernel(x_ref, w_ref, b_ref, al_ref, o_ref, acc_ref, *,
                 "activations |x|<=127, clamps outside)",
     reference="strategy inversion of cpp_impl/comp.h; BitNet W1.58-A8 "
               "regime (SURVEY.md §6)",
-    x_absmax=127)
+    x_absmax=127, x_bytes=1.0)
 def pallas_tiled_dense_x8_kernel(X, fmt: TiledDenseTernary, bias, alpha=None):
     M = X.shape[0]
     TK, TN = fmt.tile_k, fmt.tile_n
@@ -857,7 +857,7 @@ def _tiled_blockpacked_i8s_kernel(ar_ref, p_ref, b_ref, al_ref, o_ref,
                 "weight) -> decode + stacked int8-split MXU dot (exact for "
                 "integer activations |x|<=512)",
     reference="readme.md:108-111 roadmap codec + HBM-resident buffer layout",
-    x_absmax=512)
+    x_absmax=512, x_bytes=2.0)
 def pallas_tiled_blockpacked_i8_kernel(X, fmt: TiledBlockPacked, bias,
                                        alpha=None, *, stacked: bool = True):
     M = X.shape[0]
@@ -910,12 +910,27 @@ def pallas_tiled_blockpacked_i8_kernel(X, fmt: TiledBlockPacked, bias,
 
 
 # ---------------------------------------------------------------------------
-# Bitplane deposit-decode kernel (PallasTiledBitplane_i8) — the round-2
-# flagship. 2 bits/weight in HBM; decode = magic-multiply bit deposit +
-# hardware bitcast with signs merged in-register (~2.75 VPU ops/weight);
-# int8-split activations stacked into ONE MXU operand -> one dot per K-step.
-# Measured (TPU v5e): 100.2 us at M=32, K=N=11008 vs 188.6 us for the 8-bit
-# dense tile; 5.4 us at the north-star vs 8.3 (see formats/bitplane.py).
+# Bitplane deposit-decode kernels (PallasTiledBitplane_{i8,x8,bf16}) — the
+# flagship family. 2 bits/weight in HBM; decode = magic-multiply bit deposit
+# + hardware bitcast with signs merged in-register (~1.75 VPU int32-lane ops
+# per weight after the round-3 trims). The two deposited nibble groups feed
+# TWO MXU dots against the matching column halves of the activation block —
+# the concatenated (8*tkb, TN) weight tile of round 2 is never materialized.
+#
+# Round-3 measured design rules (TPU v5e, see docs/perf.md §13):
+#   * tkb=128 K-blocks (B=1024 dense rows/step): the int8 MXU sustains
+#     159 T MACs/s at K-chunks >= 1024 vs 147 at 256; 81.5 us at M=32,
+#     K=N=11008 vs 100.9 us for the round-2 tkb=32 concat kernel.
+#   * serving M (<= 128): ONE stacked (a; r) M-tile, full-width (4096) tiles
+#     — 5.1-5.3 us north-star.
+#   * larger M: UNstacked a/r dots. Skips the (a; r) stack copy — a pure
+#     HBM pass worth ~86 us at M=4000 — and keeps the accumulator at
+#     (256, 2048) i32 (the stacked variant's (2TM, TNs) overflows Mosaic's
+#     budget at TM >= 512). 106 us at M=512 K=N=4096 vs 122.6 round 2.
+#   * decode stays in registers: a VMEM-persistent decoded strip (decode-
+#     once-per-(n,k), reused across M-tiles) measured STRICTLY WORSE
+#     (141 us at M=512, 263 us at 11008² M=32) — the scratch round-trip
+#     costs more than re-deposition.
 # ---------------------------------------------------------------------------
 
 _DEPOSIT_MUL = 0x00204081   # 1 + 2^7 + 2^14 + 2^21: bit j -> byte j, no carries
@@ -961,16 +976,91 @@ def _decode_bitplanes_merged(pp8, pn8):
         [_words_to_byte_rows(wlo), _words_to_byte_rows(whi)], axis=0)
 
 
-def _tiled_bitplane_i8_kernel(ar_ref, p_ref, ws_ref, b_ref, al_ref, o_ref,
-                              acc_ref, wsum_ref, *, tkb: int, tm: int,
-                              has_alpha: bool):
+def _decode_halves_u8(pp8, pn8):
+    """uint8 plane rows (T, N) -> (lo, hi) merged-sign int8 row groups.
+
+    ``lo``/``hi`` are the decoded dense rows [0, 4T) / [4T, 8T) of the block
+    (``bitplane_rowmap``), each (4T, N). Two round-3 trims vs
+    :func:`_decode_bitplanes_merged`: the high-nibble ``& 0xF`` is dropped
+    (plane rows are ZERO-extended uint8, so ``>> 4`` already is the nibble —
+    unlike the ell-deposit path, whose byte rows are signed int8) and the
+    (8T, N) concatenated tile is never built — callers dot each half against
+    the matching activation column half (measured 86.3 vs 88.9 us at M=32,
+    K=N=11008)."""
+    p32 = pp8.astype(jnp.int32)
+    n32 = pn8.astype(jnp.int32)
+    plo = ((p32 & 0xF) * _DEPOSIT_MUL) & _BYTE_LO
+    phi = ((p32 >> 4) * _DEPOSIT_MUL) & _BYTE_LO
+    nlo = ((n32 & 0xF) * _DEPOSIT_MUL) & _BYTE_LO
+    nhi = ((n32 >> 4) * _DEPOSIT_MUL) & _BYTE_LO
+    return (_words_to_byte_rows(plo | (nlo * 0xFF)),
+            _words_to_byte_rows(phi | (nhi * 0xFF)))
+
+
+def _bitplane_tiles(M: int, TN: int):
+    """v3 tile rule (measured, docs/perf.md §13) -> (TM, TNs, split, stacked).
+
+    Serving M (<= 128 rows padded): one stacked (a; r) M-tile over full-width
+    tiles. Larger M: unstacked dots, TM = 256, compute tile narrowed to 2048
+    lanes (the accumulator budget; BlockSpec sub-tiling keeps the plane DMA
+    byte-row-contiguous)."""
+    Mr = round_up(M, 32)
+    if Mr <= 128:
+        return Mr, TN, 1, True
+    TNs = min(2048, TN)
+    return min(Mr, 256), TNs, TN // TNs, False
+
+
+def _bitplane_call(kernel, xs, x_rows, fmt, plane, bp, ap, *, wsum=None,
+                   TM, TNs, split, Mp, scratch_shapes):
+    """Shared pallas_call plumbing for the bitplane kernel family: grid
+    (m, n-subtile, k-block), tile-contiguous plane slabs, fused epilogue
+    operands. ``xs``/``x_rows``: activation operands and their block rows
+    (2TM stacked, TM each unstacked)."""
+    tkb, TN = fmt.tkb, fmt.tile_n
+    B = 8 * tkb
+    nb, gn = plane.shape[0], plane.shape[1]
+    x_specs = [pl.BlockSpec((rows, B), lambda i, j, k: (i, k),
+                            memory_space=pltpu.VMEM) for rows in x_rows]
+    plane_spec = pl.BlockSpec((1, 1, 2 * tkb, TNs),
+                              lambda i, j, k: (k, j // split, 0, j % split),
+                              memory_space=pltpu.VMEM)
+    ws_specs = []
+    ws_args = ()
+    if wsum is not None:
+        ws_specs = [pl.BlockSpec((1, 1, 1, TNs),
+                                 lambda i, j, k: (k, j // split, 0, j % split),
+                                 memory_space=pltpu.VMEM)]
+        ws_args = (wsum,)
+    vec = pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Mp // TM, gn * split, nb),
+        in_specs=x_specs + [plane_spec] + ws_specs + [vec, vec],
+        out_specs=pl.BlockSpec((TM, TNs), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
+        scratch_shapes=scratch_shapes,
+        interpret=_interpret(),
+    )
+    return out(*xs, plane, *ws_args, bp, ap)
+
+
+def _bitplane_i8s_kernel(ar_ref, p_ref, ws_ref, b_ref, al_ref, o_ref,
+                         acc_ref, wsum_ref, *, tkb: int, tm: int,
+                         has_alpha: bool):
+    """Stacked (a; r) variant for serving M: two half-block dots per K-step."""
+    H = 4 * tkb
+
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
-    w = _decode_bitplanes_merged(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
-    acc_ref[:] += jnp.dot(ar_ref[:], w, preferred_element_type=jnp.int32)
+    lo, hi = _decode_halves_u8(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
+    acc_ref[:] += jnp.dot(ar_ref[:, :H], lo, preferred_element_type=jnp.int32) \
+        + jnp.dot(ar_ref[:, H:], hi, preferred_element_type=jnp.int32)
     wsum_ref[:] += ws_ref[0, 0]
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -979,68 +1069,83 @@ def _tiled_bitplane_i8_kernel(ar_ref, p_ref, ws_ref, b_ref, al_ref, o_ref,
         o_ref[:] = _i8_epilogue(y, wsum_ref[:], b_ref, al_ref, has_alpha)
 
 
+def _bitplane_i8u_kernel(a_ref, r_ref, p_ref, ws_ref, b_ref, al_ref, o_ref,
+                         acc_ref, wsum_ref, *, tkb: int, has_alpha: bool):
+    """Unstacked variant for large M: 4 half-block dots, no (a; r) copy."""
+    H = 4 * tkb
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    lo, hi = _decode_halves_u8(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
+    acc_ref[:] += 8 * (jnp.dot(a_ref[:, :H], lo, preferred_element_type=jnp.int32)
+                       + jnp.dot(a_ref[:, H:], hi, preferred_element_type=jnp.int32)) \
+        + jnp.dot(r_ref[:, :H], lo, preferred_element_type=jnp.int32) \
+        + jnp.dot(r_ref[:, H:], hi, preferred_element_type=jnp.int32)
+    wsum_ref[:] += ws_ref[0, 0]
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = _i8_epilogue(acc_ref[:], wsum_ref[:], b_ref, al_ref,
+                                has_alpha)
+
+
 @register_kernel(
     "PallasTiledBitplane_i8", TiledBitplane,
     description="split-sign bitplanes (2 bits/weight) -> magic-multiply bit "
                 "deposit + hardware bitcast decode with in-register sign "
-                "merge (~2.75 VPU ops/weight), ONE stacked int8-split MXU "
-                "dot per K-step; the flagship exact kernel (integer "
+                "merge (~1.75 VPU ops/weight), int8-split MXU dots per "
+                "nibble group; the flagship exact kernel (integer "
                 "activations |x|<=512)",
     reference="readme.md:108-111 roadmap codec done TPU-first; epilogue "
               "comp_prelu.h:12-70; activation domain perf.cpp:301",
-    x_absmax=512)
+    x_absmax=512, x_bytes=2.0)
 def pallas_tiled_bitplane_i8_kernel(X, fmt: TiledBitplane, bias, alpha=None):
     M = X.shape[0]
     tkb, TN = fmt.tkb, fmt.tile_n
     B = 8 * tkb
     nb, gn = fmt.plane.shape[0], fmt.plane.shape[1]
-    TM, TNs, split = _choose_tiles(M, fmt.K, fmt.N, TN, cell_bytes=12,
-                                   x_mult=2, w_bits=2)
+    TM, TNs, split, stacked = _bitplane_tiles(M, TN)
     Mp = round_up(M, TM)
-    gm = Mp // TM
     a8, r8 = _int8_split(X)
     a8 = jnp.pad(a8, ((0, Mp - M), (0, nb * B - X.shape[1])))
     r8 = jnp.pad(r8, ((0, Mp - M), (0, nb * B - X.shape[1])))
-    ar = _stack_tiles(a8, r8, TM)
     bp = _row_vec(bias, TN)[:, :gn * TN]
     ap = _row_vec(alpha if alpha is not None else np.zeros(fmt.N, np.float32),
                   TN)[:, :gn * TN]
-    out = pl.pallas_call(
-        functools.partial(_tiled_bitplane_i8_kernel, tkb=tkb, tm=TM,
-                          has_alpha=alpha is not None),
-        grid=(gm, gn * split, nb),
-        in_specs=[
-            pl.BlockSpec((2 * TM, B), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2 * tkb, TNs),
-                         lambda i, j, k: (k, j // split, 0, j % split),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, TNs),
-                         lambda i, j, k: (k, j // split, 0, j % split),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TM, TNs), lambda i, j, k: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2 * TM, TNs), jnp.int32),
-                        pltpu.VMEM((1, TNs), jnp.int32)],
-        interpret=_interpret(),
-    )(ar, jnp.asarray(fmt.plane), jnp.asarray(fmt.wsum), bp, ap)
+    plane, wsum = jnp.asarray(fmt.plane), jnp.asarray(fmt.wsum)
+    if stacked:
+        out = _bitplane_call(
+            functools.partial(_bitplane_i8s_kernel, tkb=tkb, tm=TM,
+                              has_alpha=alpha is not None),
+            (_stack_tiles(a8, r8, TM),), (2 * TM,), fmt, plane, bp, ap,
+            wsum=wsum, TM=TM, TNs=TNs, split=split, Mp=Mp,
+            scratch_shapes=[pltpu.VMEM((2 * TM, TNs), jnp.int32),
+                            pltpu.VMEM((1, TNs), jnp.int32)])
+    else:
+        out = _bitplane_call(
+            functools.partial(_bitplane_i8u_kernel, tkb=tkb,
+                              has_alpha=alpha is not None),
+            (a8, r8), (TM, TM), fmt, plane, bp, ap,
+            wsum=wsum, TM=TM, TNs=TNs, split=split, Mp=Mp,
+            scratch_shapes=[pltpu.VMEM((TM, TNs), jnp.int32),
+                            pltpu.VMEM((1, TNs), jnp.int32)])
     return out[:M, :fmt.N]
 
 
 def _tiled_bitplane_x8_kernel(x_ref, p_ref, b_ref, al_ref, o_ref, acc_ref, *,
                               tkb: int, has_alpha: bool):
+    H = 4 * tkb
+
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _decode_bitplanes_merged(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
-    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
+    lo, hi = _decode_halves_u8(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
+    acc_ref[:] += jnp.dot(x_ref[:, :H], lo, preferred_element_type=jnp.int32) \
+        + jnp.dot(x_ref[:, H:], hi, preferred_element_type=jnp.int32)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
@@ -1063,52 +1168,40 @@ def _to_x8(X):
                 "integer activations |x|<=127, clamps outside)",
     reference="readme.md:108-111 roadmap codec; BitNet W1.58-A8 deployment "
               "regime (SURVEY.md §6)",
-    x_absmax=127)
+    x_absmax=127, x_bytes=1.0)
 def pallas_tiled_bitplane_x8_kernel(X, fmt: TiledBitplane, bias, alpha=None):
     M = X.shape[0]
     tkb, TN = fmt.tkb, fmt.tile_n
     B = 8 * tkb
     nb, gn = fmt.plane.shape[0], fmt.plane.shape[1]
-    TM, TNs, split = _choose_tiles(M, fmt.K, fmt.N, TN, cell_bytes=8,
-                                   x_mult=1, w_bits=2)
+    TM, TNs, split, _ = _bitplane_tiles(M, TN)    # x8 never stacks
     Mp = round_up(M, TM)
     x8 = jnp.pad(_to_x8(X), ((0, Mp - M), (0, nb * B - X.shape[1])))
     bp = _row_vec(bias, TN)[:, :gn * TN]
     ap = _row_vec(alpha if alpha is not None else np.zeros(fmt.N, np.float32),
                   TN)[:, :gn * TN]
-    out = pl.pallas_call(
+    out = _bitplane_call(
         functools.partial(_tiled_bitplane_x8_kernel, tkb=tkb,
                           has_alpha=alpha is not None),
-        grid=(Mp // TM, gn * split, nb),
-        in_specs=[
-            pl.BlockSpec((TM, B), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2 * tkb, TNs),
-                         lambda i, j, k: (k, j // split, 0, j % split),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TM, TNs), lambda i, j, k: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TM, TNs), jnp.int32)],
-        interpret=_interpret(),
-    )(x8, jnp.asarray(fmt.plane), bp, ap)
+        (x8,), (TM,), fmt, jnp.asarray(fmt.plane), bp, ap,
+        TM=TM, TNs=TNs, split=split, Mp=Mp,
+        scratch_shapes=[pltpu.VMEM((TM, TNs), jnp.int32)])
     return out[:M, :fmt.N]
 
 
 def _tiled_bitplane_b16_kernel(x_ref, p_ref, b_ref, al_ref, o_ref, acc_ref, *,
                                tkb: int, has_alpha: bool):
+    H = 4 * tkb
+
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _decode_bitplanes_merged(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
-    acc_ref[:] += jnp.dot(x_ref[:], w.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+    lo, hi = _decode_halves_u8(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
+    acc_ref[:] += jnp.dot(x_ref[:, :H], lo.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32) \
+        + jnp.dot(x_ref[:, H:], hi.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
@@ -1125,41 +1218,25 @@ def _tiled_bitplane_b16_kernel(x_ref, p_ref, b_ref, al_ref, o_ref, acc_ref, *,
                 "bf16 rounding outside)",
     reference="readme.md:108-111 roadmap codec; activation domain "
               "perf.cpp:301 (bf16 integer-exact window)",
-    x_absmax=256)
+    x_absmax=256, x_bytes=2.0)
 def pallas_tiled_bitplane_bf16_kernel(X, fmt: TiledBitplane, bias, alpha=None):
     M = X.shape[0]
     tkb, TN = fmt.tkb, fmt.tile_n
     B = 8 * tkb
     nb, gn = fmt.plane.shape[0], fmt.plane.shape[1]
-    TM, TNs, split = _choose_tiles(M, fmt.K, fmt.N, TN, cell_bytes=8,
-                                   x_mult=2, w_bits=2)
+    TM, TNs, split, _ = _bitplane_tiles(M, TN)    # bf16 never stacks
     Mp = round_up(M, TM)
     xb = jnp.pad(jnp.asarray(X, jnp.bfloat16),
                  ((0, Mp - M), (0, nb * B - X.shape[1])))
     bp = _row_vec(bias, TN)[:, :gn * TN]
     ap = _row_vec(alpha if alpha is not None else np.zeros(fmt.N, np.float32),
                   TN)[:, :gn * TN]
-    out = pl.pallas_call(
+    out = _bitplane_call(
         functools.partial(_tiled_bitplane_b16_kernel, tkb=tkb,
                           has_alpha=alpha is not None),
-        grid=(Mp // TM, gn * split, nb),
-        in_specs=[
-            pl.BlockSpec((TM, B), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2 * tkb, TNs),
-                         lambda i, j, k: (k, j // split, 0, j % split),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TM, TNs), lambda i, j, k: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TM, TNs), jnp.float32)],
-        interpret=_interpret(),
-    )(xb, jnp.asarray(fmt.plane), bp, ap)
+        (xb,), (TM,), fmt, jnp.asarray(fmt.plane), bp, ap,
+        TM=TM, TNs=TNs, split=split, Mp=Mp,
+        scratch_shapes=[pltpu.VMEM((TM, TNs), jnp.float32)])
     return out[:M, :fmt.N]
 
 
@@ -1231,7 +1308,7 @@ def _deposit_restructure(p8, nsb: int):
     reference="cpp_impl/data_structures/VectorTCSC.h:5-73 (padded ELL) + "
               "comp.h:1068-1149 strategy-inverted: deposit-then-MXU instead "
               "of NEON gathers; epilogue comp_prelu.h:12-70",
-    x_absmax=512)
+    x_absmax=512, x_bytes=2.0)
 def pallas_ell_deposit_i8_kernel(X, fmt: TiledEllDeposit, bias, alpha=None,
                                  *, tm: int = 256):
     M = X.shape[0]
