@@ -116,6 +116,7 @@ def main(argv=None) -> int:
         "effective_gflops": round(best.effective_gflops, 3),
         "nnz_per_s": best.nnz_per_s,
         "roofline_fraction": round(best.roofline_fraction, 4),
+        "own_roofline_fraction": round(best.own_roofline_fraction, 4),
         "best_any_kernel": best_any.name,
         "best_any_gflops": round(best_any.gflops, 3),
         "config": {"M": args.M, "K": args.K, "N": args.N, "s": args.s},

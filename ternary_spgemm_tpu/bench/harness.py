@@ -26,6 +26,7 @@ from ternary_spgemm_tpu.bench.instrument import (
     Instrumentation,
     advertised_hbm_bandwidth,
     instrument,
+    own_roofline_fraction,
     roofline_fraction,
 )
 from ternary_spgemm_tpu.bench.timing import TIMERS, TimingResult
@@ -50,7 +51,8 @@ class KernelResult:
     nnz_per_s: float
     total_input_bytes: int
     operational_intensity: float
-    roofline_fraction: float      # of HBM bandwidth
+    roofline_fraction: float      # of HBM bandwidth, reference byte formula
+    own_roofline_fraction: float = 0.0  # of HBM bandwidth, kernel-honest bytes
     correct: Optional[bool] = None
     max_abs_err: Optional[float] = None
     speedup: Optional[float] = None
@@ -174,7 +176,8 @@ def run_config(cfg: BenchConfig, *, bandwidth: Optional[float] = None,
         try:
             fmt = _get_format(formats, spec.format_cls, W,
                               key=(cfg.K, cfg.N, cfg.s, cfg.seed))
-            inst = instrument(cfg.M, fmt, prelu=cfg.prelu)
+            inst = instrument(cfg.M, fmt, prelu=cfg.prelu,
+                              x_bytes=spec.x_bytes)
             # The container rides as a jit ARGUMENT (timer aux), never in a
             # closure: closure-captured leaves — numpy or device — inline as
             # HLO literals, whose bytes ship with every (remote) compile (a
@@ -205,6 +208,8 @@ def run_config(cfg: BenchConfig, *, bandwidth: Optional[float] = None,
                 total_input_bytes=inst.total_input_bytes,
                 operational_intensity=inst.operational_intensity,
                 roofline_fraction=roofline_fraction(inst, t.seconds, beta),
+                own_roofline_fraction=own_roofline_fraction(inst, t.seconds,
+                                                            beta),
                 correct=correct, max_abs_err=max_err))
         except Exception as e:  # record, keep sweeping
             results.append(KernelResult(
@@ -248,6 +253,7 @@ def to_reference_json(cfg: BenchConfig, results: List[KernelResult]) -> dict:
                 "effective_gflops": r.effective_gflops,
                 "nnz_per_s": r.nnz_per_s,
                 "roofline_fraction": r.roofline_fraction,
+                "own_roofline_fraction": r.own_roofline_fraction,
                 "seconds": r.seconds,
                 "speedup": r.speedup,
                 "correct": r.correct,

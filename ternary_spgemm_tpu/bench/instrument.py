@@ -28,6 +28,13 @@ class Instrumentation:
     total_input_bytes: int      # 4*(M*K + M*N + N [+N]) + container bytes
     container_bytes: int
     operational_intensity: float  # flops / total_input_bytes
+    #: Kernel-specific minimum HBM traffic: the activation bytes the kernel's
+    #: compute stage actually streams (KernelSpec.x_bytes per element: 2 for
+    #: bf16 / stacked int8-split, 1 for int8-native) + container + f32 output
+    #: + bias (+alpha). Round 2 modeled X at 4 B for every kernel, flattering
+    #: the sub-4-byte kernels (VERDICT.md round-2 weak #4). Falls back to the
+    #: reference formula when no kernel is named.
+    own_bytes: int = 0
 
     @property
     def dense_equiv_flops(self) -> int:
@@ -38,16 +45,18 @@ class Instrumentation:
     _dense_flops: int = 0
 
 
-def instrument(M: int, fmt: TernaryFormat, *, prelu: bool = False) -> Instrumentation:
+def instrument(M: int, fmt: TernaryFormat, *, prelu: bool = False,
+               x_bytes: float = 4.0) -> Instrumentation:
     K, N = fmt.shape
     nnz = fmt.nnz
     flops = M * (nnz + N)
     ds = fmt.size_bytes()
     total = 4 * (M * K + M * N + N + (N if prelu else 0)) + ds
+    own = int(x_bytes * M * K) + 4 * (M * N + N + (N if prelu else 0)) + ds
     return Instrumentation(
         flops=flops, nnz=nnz, total_input_bytes=total, container_bytes=ds,
         operational_intensity=flops / total if total else 0.0,
-        _dense_flops=2 * M * N * K)
+        own_bytes=own, _dense_flops=2 * M * N * K)
 
 
 #: Advertised per-chip HBM bandwidth for roofline defaults (bytes/s).
@@ -92,6 +101,21 @@ def measure_hbm_bandwidth(nbytes: int = 1 << 28) -> float:
 def roofline_fraction(inst: Instrumentation, seconds: float,
                       bandwidth_bytes_per_s: float) -> float:
     """Achieved fraction of the bandwidth roofline: for this memory-bound op
-    the roofline time is total_input_bytes / beta (+ output write-back)."""
+    the roofline time is total_input_bytes / beta (+ output write-back).
+
+    This is the *reference-formula* fraction (X and Y at 4 B/element plus the
+    kernel's own container bytes). See :func:`own_roofline_fraction` for the
+    kernel-honest variant used to track the BASELINE >=70% target."""
     ideal = inst.total_input_bytes / bandwidth_bytes_per_s
+    return ideal / seconds if seconds > 0 else 0.0
+
+
+def own_roofline_fraction(inst: Instrumentation, seconds: float,
+                          bandwidth_bytes_per_s: float) -> float:
+    """Fraction of the kernel's OWN-bytes roofline: ideal time = the minimum
+    HBM traffic the kernel's design implies (its container encoding, its
+    actual activation operand width) / measured bandwidth. Always <= the
+    reference-formula fraction for sub-4-byte kernels — the honest number
+    the round-2 verdict asked to track per round (VERDICT.md weak #1/#4)."""
+    ideal = inst.own_bytes / bandwidth_bytes_per_s
     return ideal / seconds if seconds > 0 else 0.0

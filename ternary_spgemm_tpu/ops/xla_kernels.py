@@ -76,12 +76,48 @@ def _segment_cols(data, col_ids, N, *, sorted_ids):
     return seg.T
 
 
+#: Cap (in f32 elements) for the materialized (M-chunk, nnz) gather stream.
+#: Above it the kernel scans over M-chunks so the full (M, nnz) intermediate
+#: never exists — this is what makes BaseTCSC feasible (hence a real speedup
+#: denominator) at every canonical grid config instead of 112/256
+#: (VERDICT.md round-2 missing #4). 2^26 floats = 256 MB per chunk.
+_GATHER_CHUNK_FLOATS = 1 << 26
+
+
+def _tcsc_chunked(X, fmt: TCSC):
+    """Scan over M-chunks; each chunk runs the same sorted split-sign
+    segment-sum over the full nnz stream ((MC, nnz) <= 256 MB at MC >= 1,
+    since the canonical grid's largest stream is 67M nnz)."""
+    M, K = X.shape
+    nnz = max(int(fmt.row_index_pos.shape[0] + fmt.row_index_neg.shape[0]), 1)
+    MC = max(1, _GATHER_CHUNK_FLOATS // nnz)
+    steps = -(-M // MC)
+    Xp = jnp.pad(X, ((0, steps * MC - M), (0, 0)))
+
+    def chunk(xc):  # (MC, K) -> (N, MC)
+        pos = jax.ops.segment_sum(
+            jnp.take(xc, fmt.row_index_pos, axis=1).T, fmt.col_ids_pos,
+            num_segments=fmt.N, indices_are_sorted=True)
+        neg = jax.ops.segment_sum(
+            jnp.take(xc, fmt.row_index_neg, axis=1).T, fmt.col_ids_neg,
+            num_segments=fmt.N, indices_are_sorted=True)
+        return pos - neg
+
+    ys = jax.lax.map(chunk, Xp.reshape(steps, MC, K))      # (steps, N, MC)
+    return ys.transpose(0, 2, 1).reshape(steps * MC, fmt.N)[:M]
+
+
 @register_kernel(
     "BaseTCSC", TCSC,
-    description="split-sign gather + sorted segment-sum (speedup baseline)",
+    description="split-sign gather + sorted segment-sum (speedup baseline); "
+                "scans over M-chunks when the (M, nnz) stream exceeds the "
+                "device budget, so every canonical config is feasible",
     reference="cpp_impl/comp.h:25-69 (BaseTCSC), 71-265 (Unrolled*)")
 def tcsc_kernel(X, fmt: TCSC, bias, alpha=None):
     X = jnp.asarray(X, jnp.float32)
+    nnz = int(fmt.row_index_pos.shape[0] + fmt.row_index_neg.shape[0])
+    if X.shape[0] * nnz > _GATHER_CHUNK_FLOATS:
+        return finish(_tcsc_chunked(X, fmt), bias, alpha)
     pos = _segment_cols(jnp.take(X, fmt.row_index_pos, axis=1),
                         fmt.col_ids_pos, fmt.N, sorted_ids=True)
     neg = _segment_cols(jnp.take(X, fmt.row_index_neg, axis=1),
@@ -208,7 +244,7 @@ def dense_mxu_kernel(X, fmt: DenseTernary, bias, alpha=None):
 @register_kernel(
     "DenseMXU_bf16", DenseTernary,
     description="bf16 MXU matmul (production fast path; inexact for |X|>256)",
-    approximate=True)
+    approximate=True, x_bytes=2.0)
 def dense_mxu_bf16_kernel(X, fmt: DenseTernary, bias, alpha=None):
     Xb = jnp.asarray(X, jnp.bfloat16)
     W = fmt.dense.astype(jnp.bfloat16)  # {-1,0,1} is exact in bf16
@@ -223,7 +259,7 @@ def dense_mxu_bf16_kernel(X, fmt: DenseTernary, bias, alpha=None):
                 "_x8 Pallas path (exact for integer activations |x|<=127, "
                 "clamps outside)",
     reference="BitNet W1.58-A8 regime (SURVEY.md \u00a76)",
-    x_absmax=127)
+    x_absmax=127, x_bytes=1.0)
 def dense_mxu_x8_kernel(X, fmt: DenseTernary, bias, alpha=None):
     x8 = jnp.clip(jnp.round(jnp.asarray(X, jnp.float32)),
                   -127.0, 127.0).astype(jnp.int8)

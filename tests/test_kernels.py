@@ -155,3 +155,28 @@ def test_empty_column_and_row():
         fmt = _build(spec.format_cls, W)
         got = np.asarray(spec(X, fmt, b))
         assert reference.compare_results(got, want), name
+
+
+def test_basetcsc_chunked_matches_unchunked(monkeypatch):
+    """The M-chunked BaseTCSC path (sweep feasibility at every canonical
+    config, VERDICT.md round-2 missing #4) is bit-identical to the direct
+    segment-sum formulation."""
+    import jax.numpy as jnp
+
+    from ternary_spgemm_tpu.ops import xla_kernels
+
+    W = generate_ternary(K, N, S, seed=11)
+    X = jnp.asarray(generate_x(M, K, seed=12))
+    b = generate_bias(N)
+    a = generate_alpha(N)
+    fmt = TCSC.from_dense(W)
+    direct = np.asarray(xla_kernels.tcsc_kernel(X, fmt, b, a))
+    # force chunking with MC > 1 and an M remainder (M=40, MC=ceil)
+    nnz = int(np.count_nonzero(W))
+    monkeypatch.setattr(xla_kernels, "_GATHER_CHUNK_FLOATS", 7 * nnz)
+    chunked = np.asarray(xla_kernels.tcsc_kernel(X, fmt, b, a))
+    np.testing.assert_array_equal(direct, chunked)
+    # and MC == 1 (nnz exceeds the budget entirely)
+    monkeypatch.setattr(xla_kernels, "_GATHER_CHUNK_FLOATS", 1)
+    np.testing.assert_array_equal(
+        direct, np.asarray(xla_kernels.tcsc_kernel(X, fmt, b, a)))

@@ -74,7 +74,10 @@ def build_grid(args):
 #: device OOM. The XLA segment-sum formulations materialize the gathered
 #: (M, nnz) stream (nnz ~ 2*K*N/s), so their footprint grows with every
 #: dimension at once; the Pallas tiled kernels stream O(M*K + K*N/4 + M*N).
-_GATHER_KERNELS = ("BaseTCSC", "BaseTCSR", "BlockedTCSC", "InterleavedTCSC",
+#: BaseTCSC is NOT in this list since round 3: it scans over M-chunks above
+#: the budget (ops/xla_kernels.py::_tcsc_chunked), so the speedup denominator
+#: exists at every canonical config (VERDICT.md round-2 missing #4).
+_GATHER_KERNELS = ("BaseTCSR", "BlockedTCSC", "InterleavedTCSC",
                    "InterleavedBlockedTCSC", "EllTCSC", "PackedCSC")
 _GATHER_BUDGET_FLOATS = 6e8   # ~2.4 GB for the dominant (M, nnz) intermediate
 
