@@ -7,6 +7,10 @@ cd "$(dirname "$0")/.."
 OUT=${OUT:-bench_artifacts}
 mkdir -p "$OUT"
 
+# On-chip multi-tile correctness gate first: every registered kernel at a
+# shape forcing grid >= (2,2,2) (fails the pipeline on any mismatch).
+python tools/chipgate.py --output "$OUT/chipgate.json"
+
 python tools/sweep.py --preset bitnet ${SWEEP_ARGS} \
   --kernels PallasTiledDense_i8,PallasTiledBitplane_i8,PallasDense_bf16,PallasDense \
   --output "$OUT/bitnet_sweep.json"
