@@ -19,6 +19,7 @@ from ternary_spgemm_tpu.parallel.pipeline import (
     pipeline_lm_apply,
     stack_stages,
 )
+from ternary_spgemm_tpu.parallel.ring_kernel import ring_allgather_spgemm
 from ternary_spgemm_tpu.parallel.spgemm import (
     column_sharded_spgemm,
     overlapped_gather_spgemm,
@@ -29,5 +30,6 @@ __all__ = [
     "SHARDABLE_FORMATS", "make_mesh", "shard_container", "spec_tree",
     "column_leaf_specs", "row_leaf_specs", "localize",
     "column_sharded_spgemm", "row_sharded_spgemm", "overlapped_gather_spgemm",
+    "ring_allgather_spgemm",
     "pipeline_apply", "pipeline_lm_apply", "stack_stages",
 ]

@@ -1,0 +1,62 @@
+"""Pallas ring all-gather SpMM: structural comm/compute overlap kernel.
+
+Correctness on the virtual CPU mesh via Pallas TPU *interpret* mode, which
+emulates ``make_async_remote_copy``/semaphores per shard-mapped device
+(pltpu.InterpretParams). The real-topology compile path is exercised by
+``tools/overlap_evidence.py --ring`` (AOT, no chips needed).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ternary_spgemm_tpu.formats import (DenseTernary, generate_bias,
+                                        generate_ternary, generate_x)
+from ternary_spgemm_tpu.parallel import make_mesh, ring_allgather_spgemm
+
+
+def _interpret_params():
+    from jax.experimental.pallas import tpu as pltpu
+    try:
+        return pltpu.InterpretParams()
+    except Exception as e:  # pragma: no cover - jax version drift
+        pytest.skip(f"pltpu.InterpretParams unavailable: {e}")
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_ring_allgather_spgemm_matches_dense(d):
+    mesh = make_mesh({"model": d})
+    K, NL, mc = 64, 128, 8
+    N = NL * d
+    M = mc * d
+    W = generate_ternary(K, N, 4, seed=3)
+    X = jnp.asarray(generate_x(M, K, seed=4))
+    b = generate_bias(N)
+    fmt = DenseTernary.from_dense(W)
+    try:
+        out = ring_allgather_spgemm(X, fmt, b, mesh=mesh, axis="model",
+                                    interpret=_interpret_params())
+        out = np.asarray(out)
+    except AssertionError:
+        raise
+    except Exception as e:
+        pytest.skip(f"TPU interpret mode cannot emulate remote DMA here: "
+                    f"{type(e).__name__}: {e}")
+    ref = np.asarray(X, np.float64) @ np.asarray(W, np.float64) \
+        + np.asarray(b)[None, :]
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_ring_kernel_validates_shapes():
+    mesh = make_mesh({"model": 4})
+    W = generate_ternary(32, 128, 4, seed=0)
+    fmt = DenseTernary.from_dense(W)
+    b = generate_bias(128)
+    with pytest.raises(ValueError, match="not divisible"):
+        ring_allgather_spgemm(jnp.ones((30, 32)), fmt, b, mesh=mesh,
+                              axis="model")
+    with pytest.raises(ValueError, match="multiple of 8"):
+        ring_allgather_spgemm(jnp.ones((12, 32)), fmt, b, mesh=mesh,
+                              axis="model")

@@ -65,4 +65,7 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
+    import os
+    # location-independent: the repo root hosts bench.py and the package
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sys.exit(main())

@@ -34,29 +34,36 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-_COMPUTE_RE = re.compile(r"= (\w+\[[^\]]*\])? ?(dot|fusion|convolution|custom-call)\(")
+#: An HLO compute op: "<name> = <type-or-tuple> dot|fusion|convolution(...".
+#: The operand type can be a TUPLE with spaces, so match non-greedily up to
+#: the opcode (TPU-compiled modules print tuple-typed fusions).
+_COMPUTE_RE = re.compile(r" = .*?\b(dot|fusion|convolution)\(")
+_START_RE = re.compile(r"^\s*(%\S+) = .*?\bcollective-permute-start\(")
+_DONE_RE = re.compile(r"\bcollective-permute-done\(([^),]+)")
 
 
 def analyze_hlo(hlo: str) -> dict:
-    """Count async collective-permute windows and the compute inside them."""
+    """Count async collective-permute windows and the compute inside them.
+
+    Compiled (scheduled) modules print instructions in schedule order, so
+    compute between a start and its done IS scheduled inside the transfer
+    window."""
     lines = hlo.splitlines()
     pairs = []
     open_starts = {}  # var name -> (line_no, computes-so-far list)
     for i, ln in enumerate(lines):
-        m = re.search(r"(%?\S+) = \S* collective-permute-start\(", ln)
+        m = _START_RE.search(ln)
         if m:
-            open_starts[m.group(1).rstrip(" ")] = (i, [])
+            open_starts[m.group(1)] = (i, [])
             continue
-        md = re.search(r"collective-permute-done\((\S+?)\)", ln)
+        md = _DONE_RE.search(ln)
         if md:
-            key = md.group(1).rstrip(",)")
-            for k in list(open_starts):
-                if key in (k, k.rstrip(",")):
-                    start_i, comps = open_starts.pop(k)
-                    pairs.append({"start_line": start_i, "done_line": i,
-                                  "compute_ops_in_window": len(comps),
-                                  "ops": comps[:4]})
-                    break
+            key = md.group(1).strip()
+            if key in open_starts:
+                start_i, comps = open_starts.pop(key)
+                pairs.append({"start_line": start_i, "done_line": i,
+                              "compute_ops_in_window": len(comps),
+                              "ops": comps[:4]})
             continue
         if open_starts and _COMPUTE_RE.search(ln):
             op = ln.strip().split(" = ")[0][:60]
@@ -134,6 +141,41 @@ def main(argv=None) -> int:
         "backend": backend_desc, "devices": d, "N": N, "K": args.K,
         "verdict": None,
     })
+
+    # Structural-overlap kernel: AOT-compile the Pallas RDMA ring
+    # (parallel/ring_kernel.py) for the same topology — proves the
+    # make_async_remote_copy double-buffered ring lowers through Mosaic for
+    # real multi-chip hardware (its numerics are interpret-tested on the CPU
+    # mesh, tests/test_ring_kernel.py).
+    if not (args.cpu or not args.topology):
+        import numpy as _np
+
+        from ternary_spgemm_tpu.formats import DenseTernary
+        from ternary_spgemm_tpu.parallel import ring_allgather_spgemm
+
+        try:
+            Wd = generate_ternary(args.K, N, 4, seed=1)
+            fmt_d = DenseTernary.from_dense(Wd)
+            rf = jax.jit(lambda x, f, bb: ring_allgather_spgemm(
+                x, f, bb, mesh=mesh, axis="model"))
+            sds = lambda a: jax.ShapeDtypeStruct(_np.shape(a),
+                                                 _np.asarray(a).dtype)
+            Xs = jax.ShapeDtypeStruct((8 * d, args.K), _np.float32)
+            rhlo = rf.lower(Xs, jax.tree_util.tree_map(sds, fmt_d),
+                            sds(b)).compile().as_text()
+            result["ring_kernel"] = {
+                "aot_compiled": True, "topology": args.topology,
+                "custom_calls": len(re.findall(r" custom-call", rhlo)),
+                "note": "Pallas make_async_remote_copy ring compiled by the "
+                        "TPU toolchain for this topology; overlap is "
+                        "structural (rdma.start() precedes the local dot "
+                        "inside the kernel body).",
+            }
+        except Exception as e:  # record, keep the ppermute evidence
+            result["ring_kernel"] = {
+                "aot_compiled": False,
+                "error": f"{type(e).__name__}: {str(e)[:300]}",
+            }
     if result["async_pairs"] and result["pairs_with_compute_inside"] > 0:
         result["verdict"] = ("OVERLAPPED: async collective-permute windows "
                              "contain compute ops (TPU compiler schedule)"

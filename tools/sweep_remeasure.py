@@ -35,6 +35,20 @@ def main(argv=None) -> int:
     p.add_argument("--min-seconds", type=float, default=0.1)
     p.add_argument("--platform", default=None)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--fill", action="store_true",
+                   help="target kernels whose record entry is MISSING or an "
+                        "error/skip (instead of present ones) and write a "
+                        "fresh full entry — used to fill the 144 BaseTCSC "
+                        "gather-infeasibility skips once the kernel grew the "
+                        "M-chunked path (VERDICT.md round-2 missing #4). "
+                        "Speedups of every kernel in a touched record are "
+                        "recomputed against the new BaseTCSC seconds.")
+    p.add_argument("--regate", action="store_true",
+                   help="re-run the correctness gate (when M*N is readback-"
+                        "feasible) instead of preserving the stored verdict — "
+                        "for re-measuring a kernel whose implementation "
+                        "changed")
+    p.add_argument("--correctness-limit", type=int, default=1 << 24)
     args = p.parse_args(argv)
 
     if args.platform:
@@ -49,9 +63,14 @@ def main(argv=None) -> int:
 
     todo = []
     for rec in records:
-        present = [k for k in targets
-                   if isinstance(rec.get("results", {}).get(k), dict)
-                   and "error" not in rec["results"][k]]
+        res = rec.get("results", {})
+        if args.fill:
+            present = [k for k in targets
+                       if not isinstance(res.get(k), dict)
+                       or "error" in res[k]]
+        else:
+            present = [k for k in targets
+                       if isinstance(res.get(k), dict) and "error" not in res[k]]
         if present:
             todo.append((rec, present))
     if args.limit:
@@ -62,19 +81,20 @@ def main(argv=None) -> int:
     t0 = time.time()
     for i, (rec, present) in enumerate(todo):
         tc = rec["test_case"]
+        gate = args.regate and tc["M"] * tc["N"] <= args.correctness_limit
         cfg = BenchConfig(M=tc["M"], K=tc["K"], N=tc["N"], s=tc["s"],
-                          kernels=present, correctness=False,
+                          kernels=present, correctness=gate,
                           min_seconds=args.min_seconds)
         print(f"[{i+1}/{len(todo)}] M={tc['M']} K={tc['K']} N={tc['N']} "
               f"s={tc['s']} (elapsed {time.time()-t0:.0f}s)", flush=True)
         base = rec["results"].get("BaseTCSC", {})
         base_s = base.get("seconds") if isinstance(base, dict) else None
         for r in run_config(cfg, verbose=True):
-            old = rec["results"][r.name]
             if r.error:
                 print(f"  ! {r.name} failed ({r.error}); keeping old entry",
                       flush=True)
                 continue
+            old = rec["results"].setdefault(r.name, {})
             old.update({
                 "performance": r.gflops,
                 "total_input_size": r.total_input_bytes,
@@ -82,9 +102,23 @@ def main(argv=None) -> int:
                 "effective_gflops": r.effective_gflops,
                 "nnz_per_s": r.nnz_per_s,
                 "roofline_fraction": r.roofline_fraction,
+                "own_roofline_fraction": r.own_roofline_fraction,
                 "seconds": r.seconds,
                 "speedup": (base_s / r.seconds) if base_s else old.get("speedup"),
-            })  # "correct"/"max_abs_err" stay from the original gated run
+            })
+            old.pop("error", None)
+            if gate or args.fill:
+                old["correct"] = r.correct
+                old["max_abs_err"] = r.max_abs_err
+            # else: "correct"/"max_abs_err" stay from the original gated run
+            if r.name == "BaseTCSC":
+                base_s = r.seconds
+        if base_s:
+            # the baseline convention: every kernel's speedup is vs this
+            # record's BaseTCSC seconds (main.cpp:257-263)
+            for name, entry in rec["results"].items():
+                if isinstance(entry, dict) and entry.get("seconds"):
+                    entry["speedup"] = base_s / entry["seconds"]
         # checkpoint after every config — atomic, same contract as sweep.py
         tmp = args.artifact + ".tmp"
         with open(tmp, "w") as f:
