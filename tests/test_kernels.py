@@ -180,3 +180,30 @@ def test_basetcsc_chunked_matches_unchunked(monkeypatch):
     monkeypatch.setattr(xla_kernels, "_GATHER_CHUNK_FLOATS", 1)
     np.testing.assert_array_equal(
         direct, np.asarray(xla_kernels.tcsc_kernel(X, fmt, b, a)))
+
+
+@pytest.mark.parametrize("M_big", [200, 300])
+def test_bitplane_family_unstacked_large_m(M_big):
+    """M > 128 takes the v3 UNstacked tile path (docs/perf.md §13) — cover
+    both the gm=1 and gm=2 grids of that branch in interpret mode."""
+    import jax.numpy as jnp
+
+    from ternary_spgemm_tpu.ops import all_kernels
+
+    W = generate_ternary(K, N, S, seed=21)
+    Xb = jnp.asarray(generate_x(M_big, K, seed=22))
+    b = generate_bias(N)
+    a = generate_alpha(N)
+    fmt = _build(TiledBitplane, W)
+    want = np.asarray(Xb, np.float64) @ np.asarray(W, np.float64) \
+        + np.asarray(b)[None, :]
+    want = np.where(want > 0, want, np.asarray(a)[None, :] * want)
+    reg = all_kernels()
+    for name in ("PallasTiledBitplane_i8", "PallasTiledBitplane_x8",
+                 "PallasTiledBitplane_bf16"):
+        Xk = jnp.clip(Xb, -reg[name].x_absmax, reg[name].x_absmax)
+        wk = np.asarray(Xk, np.float64) @ np.asarray(W, np.float64) \
+            + np.asarray(b)[None, :]
+        wk = np.where(wk > 0, wk, np.asarray(a)[None, :] * wk)
+        got = np.asarray(reg[name].fn(Xk, fmt, b, a))
+        np.testing.assert_allclose(got, wk, atol=1e-5, err_msg=name)
