@@ -135,11 +135,20 @@ def time_device_loop(fn: Callable, x, *, aux=(), min_seconds: float = MIN_SECOND
         float(np.asarray(looped(x, n, aux)))  # readback = the only true fence
         return time.perf_counter() - t0
 
-    n = 16
-    t_half, t_n = t_at(n // 2), t_at(n)
-    while (t_n - t_half) < min_seconds and n < max_runs:
-        n *= 2
-        t_half, t_n = t_n, t_at(n)
+    # Adaptive start: a single run that already exceeds the calibration
+    # budget means the kernel is SLOW (seconds-scale baselines at the grid
+    # corners) — the n=16 doubling protocol would pay ~70 runs of it. The
+    # slope still cancels dispatch overhead at n=2 vs n=1.
+    t1 = t_at(1)
+    if t1 >= min_seconds:
+        n = 2
+        t_half, t_n = t1, t_at(2)
+    else:
+        n = 16
+        t_half, t_n = t_at(n // 2), t_at(n)
+        while (t_n - t_half) < min_seconds and n < max_runs:
+            n *= 2
+            t_half, t_n = t_n, t_at(n)
     diffs = [t_n - t_half]
     for _ in range(2):
         diffs.append(t_at(n) - t_at(n // 2))

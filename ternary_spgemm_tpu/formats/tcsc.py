@@ -38,6 +38,19 @@ def _csc_arrays(W: np.ndarray, value: int):
     return col_start, k_idx.astype(np.int32), n_idx.astype(np.int32)
 
 
+def _ell_table(row_index, col_start, col_ids, K: int, N: int) -> np.ndarray:
+    """Padded per-column gather table (cap, N): slot s of column n = the
+    s-th row index of column n's stream; empty slots point at K (callers
+    append a zero column). Columns on the minor axis — the orientation the
+    TPU gathers at full rate (docs/perf.md §13)."""
+    cap = int(np.diff(col_start).max(initial=0))
+    tbl = np.full((max(cap, 1), N), K, np.int32)
+    slot = np.arange(len(row_index), dtype=np.int64) \
+        - col_start[col_ids].astype(np.int64)
+    tbl[slot, col_ids] = row_index
+    return tbl
+
+
 def _csr_arrays(W: np.ndarray, value: int):
     """(row_start, col_index, row_ids) for entries equal to ``value``,
     ordered row-major — the CSR stream order."""
@@ -55,7 +68,7 @@ class TCSC(TernaryFormat):
 
     ARRAY_FIELDS = (
         "col_start_pos", "col_start_neg", "row_index_pos", "row_index_neg",
-        "col_ids_pos", "col_ids_neg",
+        "col_ids_pos", "col_ids_neg", "ell_pos", "ell_neg",
     )
 
     col_start_pos: np.ndarray  # (N+1,) int32
@@ -65,6 +78,14 @@ class TCSC(TernaryFormat):
     # flattened companion view (derived; see module docstring)
     col_ids_pos: np.ndarray    # (nnz_pos,) int32
     col_ids_neg: np.ndarray    # (nnz_neg,) int32
+    # padded per-column gather tables (cap, N), derived like col_ids: slot s
+    # of column n holds the s-th row index of n's stream, padded with K (an
+    # appended zero column). Consumed by the huge-config M-chunked kernel
+    # path, where XLA's narrow scatter collapses (ops/xla_kernels.py);
+    # built at construction like every container, i.e. outside any timed
+    # region (main.cpp:60-81 convention). Not counted in size_bytes.
+    ell_pos: np.ndarray        # (cap_pos, N) int32
+    ell_neg: np.ndarray        # (cap_neg, N) int32
     K: int
     N: int
 
@@ -81,12 +102,18 @@ class TCSC(TernaryFormat):
                 csp, csn, rip, rin, cip, cin = native.tcsc_arrays(W)
                 return cls(col_start_pos=csp, col_start_neg=csn,
                            row_index_pos=rip, row_index_neg=rin,
-                           col_ids_pos=cip, col_ids_neg=cin, K=K, N=N)
+                           col_ids_pos=cip, col_ids_neg=cin,
+                           ell_pos=_ell_table(rip, csp, cip, K, N),
+                           ell_neg=_ell_table(rin, csn, cin, K, N),
+                           K=K, N=N)
         csp, rip, cip = _csc_arrays(W, 1)
         csn, rin, cin = _csc_arrays(W, -1)
         return cls(col_start_pos=csp, col_start_neg=csn,
                    row_index_pos=rip, row_index_neg=rin,
-                   col_ids_pos=cip, col_ids_neg=cin, K=K, N=N)
+                   col_ids_pos=cip, col_ids_neg=cin,
+                   ell_pos=_ell_table(rip, csp, cip, K, N),
+                   ell_neg=_ell_table(rin, csn, cin, K, N),
+                   K=K, N=N)
 
     def to_dense(self) -> np.ndarray:
         W = np.zeros((self.K, self.N), dtype=np.int8)

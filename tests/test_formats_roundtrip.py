@@ -138,6 +138,6 @@ def test_formats_are_pytrees():
     W = generate_ternary(32, 64, 4, seed=0)
     f = TCSC.from_dense(W)
     leaves = jax.tree_util.tree_leaves(f)
-    assert len(leaves) == 6
+    assert len(leaves) == len(TCSC.ARRAY_FIELDS) == 8
     f2 = jax.tree_util.tree_map(lambda x: x, f)
     np.testing.assert_array_equal(f2.to_dense(), W)
