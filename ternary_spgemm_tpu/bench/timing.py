@@ -140,6 +140,12 @@ def time_device_loop(fn: Callable, x, *, aux=(), min_seconds: float = MIN_SECOND
     # corners) — the n=16 doubling protocol would pay ~70 runs of it. The
     # slope still cancels dispatch overhead at n=2 vs n=1.
     t1 = t_at(1)
+    if t1 >= 10.0:
+        # Do NOT wrap 10s+ kernels in an n=2 while_loop: a ~60 s single
+        # device execution has crashed the tunneled TPU worker outright
+        # (observed at the M=64000 grid corners, 2026-08-19). One dispatch
+        # + readback is < 0.5% of t1 here — report the amortized single run.
+        return TimingResult(seconds=t1, runs=1, total_seconds=t1)
     if t1 >= min_seconds:
         n = 2
         t_half, t_n = t1, t_at(2)
