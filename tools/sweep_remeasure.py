@@ -91,8 +91,8 @@ def main(argv=None) -> int:
         M_run, m_scale = tc["M"], 1.0
         nnz_est = 2 * tc["K"] * tc["N"] // tc["s"]
         if (args.fill and set(present) == {"BaseTCSC"}
-                and tc["M"] * nnz_est > 1e12):
-            M_sub = max(2000, int(5e11 // nnz_est) // 8 * 8)
+                and tc["M"] * nnz_est > 4e11):
+            M_sub = max(2000, int(3e11 // nnz_est) // 8 * 8)
             if M_sub < tc["M"]:
                 M_run, m_scale = M_sub, tc["M"] / M_sub
         cfg = BenchConfig(M=M_run, K=tc["K"], N=tc["N"], s=tc["s"],
