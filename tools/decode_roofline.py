@@ -39,21 +39,28 @@ def measure_decode_rate(tkb: int = 128, tns: int = 512, reps: int = 64):
     from jax.experimental.pallas import tpu as pltpu
 
     from ternary_spgemm_tpu.bench.timing import time_device_loop
-    from ternary_spgemm_tpu.ops.pallas_kernels import _decode_halves_u8
+    from ternary_spgemm_tpu.ops.pallas_kernels import (
+        _BYTE_LO, _DEPOSIT_MUL, _words_to_byte_rows)
 
     B = 8 * tkb
 
     def kernel(p_ref, x_ref, o_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
         x = x_ref[:]
+        p32 = p_ref[:].astype(jnp.int32)
         for r in range(reps):
-            # vary the plane per repetition (cheap XOR, counted against the
-            # decode) so the repetitions cannot be collapsed
-            p = (p_ref[:] + jnp.uint8(r)).astype(jnp.uint8)
-            lo, hi = _decode_halves_u8(p[:tkb], p[tkb:])
-            acc_ref[:] += jnp.dot(x[:, :B // 2], lo,
+            # vary the plane per repetition (2 extra int32 lane-ops, counted
+            # against the decode — conservative) so reps cannot collapse
+            q = (p32 + r) & 0xFF
+            qp, qn = q[:tkb], q[tkb:]
+            lo = (((qp & 0xF) * _DEPOSIT_MUL) & _BYTE_LO) \
+                | ((((qn & 0xF) * _DEPOSIT_MUL) & _BYTE_LO) * 0xFF)
+            hi = (((qp >> 4) * _DEPOSIT_MUL) & _BYTE_LO) \
+                | ((((qn >> 4) * _DEPOSIT_MUL) & _BYTE_LO) * 0xFF)
+            acc_ref[:] += jnp.dot(x[:, :B // 2], _words_to_byte_rows(lo),
                                   preferred_element_type=jnp.int32) \
-                + jnp.dot(x[:, B // 2:], hi, preferred_element_type=jnp.int32)
+                + jnp.dot(x[:, B // 2:], _words_to_byte_rows(hi),
+                          preferred_element_type=jnp.int32)
         o_ref[:] = acc_ref[:]
 
     rng = np.random.default_rng(0)
@@ -123,12 +130,19 @@ def main(argv=None) -> int:
             "dot_ideal_s": t_dot,
             "own_bytes_fraction": t_byte_ideal / r.seconds,
             "augmented_roofline_fraction": aug_ideal / r.seconds,
+            "overlapped_roofline_fraction":
+                max(t_byte_ideal, t_decode, t_dot) / r.seconds,
         })
         print(rows[-1], flush=True)
     result["configs"] = rows
-    result["model"] = ("t_ideal = max(own_bytes/beta, K*N/pi_decode) + "
-                       "2*M*K*N/pi_mxu_int8 — the reference's two-resource "
-                       "roofline with the measured VPU deposit rate as pi")
+    result["model"] = (
+        "two bounds from measured resource rates: SERIAL ideal = "
+        "max(own_bytes/beta, K*N/pi_decode) + 2*M*K*N/pi_mxu_int8 "
+        "(augmented_roofline_fraction; > 1 means the kernel overlaps better "
+        "than fully-serial), and FULL-OVERLAP ideal = max(bytes, decode, "
+        "dot) (overlapped_roofline_fraction; the speed-of-light if DMA, VPU "
+        "and MXU overlapped perfectly). The reference's beta/pi roofline "
+        "with measured rates for every resource.")
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"wrote {args.out}")
