@@ -106,15 +106,24 @@ def _tcsc_chunked(X, fmt: TCSC):
     sums| < 2^24), so results match the direct path bit-for-bit there."""
     M, K = X.shape
     N = fmt.N
-    slots = fmt.ell_pos.shape[0] + fmt.ell_neg.shape[0]
-    MC = max(1, _CHUNK_BUDGET_FLOATS // (N * slots))
+    # Section the slot axis so the per-gather intermediate is (MC, SEC, N)
+    # with SEC <= 1024: at the (16384, 4096) grid corners cap reaches ~8400
+    # and an unsectioned chunk forces MC ~ 7 rows, collapsing gather
+    # efficiency (and blowing the single-execution time past the tunnel
+    # worker's tolerance). Sections keep MC wide at identical math.
+    SEC = 1024
+    sec_rows = min(SEC, max(fmt.ell_pos.shape[0], fmt.ell_neg.shape[0], 1))
+    MC = max(1, _CHUNK_BUDGET_FLOATS // (N * sec_rows))
     steps = -(-M // MC)
     Xp = jnp.pad(X, ((0, steps * MC - M), (0, 1)))       # zero column at K
 
     def chunk(xc):  # (MC, K+1) -> (MC, N)
-        pos = jnp.take(xc, fmt.ell_pos, axis=1).sum(axis=1)  # (MC,cap,N)
-        neg = jnp.take(xc, fmt.ell_neg, axis=1).sum(axis=1)
-        return pos - neg
+        acc = jnp.zeros((xc.shape[0], N), jnp.float32)
+        for tbl, sign in ((fmt.ell_pos, 1.0), (fmt.ell_neg, -1.0)):
+            for s0 in range(0, tbl.shape[0], SEC):
+                part = jnp.take(xc, tbl[s0:s0 + SEC], axis=1).sum(axis=1)
+                acc = acc + sign * part
+        return acc
 
     ys = jax.lax.map(chunk, Xp.reshape(steps, MC, K + 1))  # (steps, MC, N)
     return ys.reshape(steps * MC, N)[:M]
