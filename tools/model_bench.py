@@ -148,7 +148,15 @@ def main(argv=None) -> int:
             results["results"]["a8_block"] = {
                 "error": f"no _x8 kernel registered for {args.fmt}"}
         else:
-            frozen = {n: export_layer(params[n], fmt_cls)
+            import jax.numpy as _jnp
+
+            # device-resident containers (the serving condition): host-numpy
+            # leaves in the timed args re-transfer over the tunnel and can
+            # dominate the measurement at the 11008-wide projections
+            frozen = {n: jax.tree_util.tree_map(
+                          lambda a: _jnp.asarray(a)
+                          if hasattr(a, "shape") else a,
+                          export_layer(params[n], fmt_cls))
                       for n in BitTransformerBlock.LINEARS}
 
             def a8_block(z, fro, na, nf):
