@@ -56,6 +56,11 @@ def main(argv=None) -> int:
                    help="gate every kernel vs the dense reference first "
                         "(device->host readback; slow on tunneled devices)")
     p.add_argument("--prelu", action="store_true")
+    p.add_argument("--repeats", type=int, default=3,
+                   help="independent calibrated slope estimates per kernel "
+                        "(median reported, spread emitted) — the round-3 "
+                        "driver records wobbled 20% at the 5 us scale on "
+                        "single estimates (VERDICT weak #1)")
     p.add_argument("--json-out", default=None,
                    help="also write the full per-kernel records (reference "
                         "sweep schema) to this path")
@@ -77,7 +82,8 @@ def main(argv=None) -> int:
         kernels = None if args.all else DEFAULT_KERNELS
     cfg = BenchConfig(
         M=args.M, K=args.K, N=args.N, s=args.s, prelu=args.prelu,
-        correctness=args.correctness, kernels=kernels)
+        correctness=args.correctness, kernels=kernels,
+        repeats=max(1, args.repeats))
     beta = None
     if args.measure_beta:
         from ternary_spgemm_tpu.bench import measure_hbm_bandwidth
@@ -113,6 +119,8 @@ def main(argv=None) -> int:
         "vs_baseline": round(best.gflops / REFERENCE_GFLOPS, 3),
         "best_kernel": best.name,
         "seconds": best.seconds,
+        "seconds_spread": round(best.seconds_spread, 4),
+        "n_estimates": best.n_estimates,
         "effective_gflops": round(best.effective_gflops, 3),
         "nnz_per_s": best.nnz_per_s,
         "roofline_fraction": round(best.roofline_fraction, 4),

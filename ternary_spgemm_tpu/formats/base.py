@@ -94,6 +94,13 @@ class TernaryFormat(abc.ABC):
         d = self.to_dense()
         return int(np.count_nonzero(d))
 
+    def prepare(self, M: int) -> "TernaryFormat":
+        """Materialize any M-dependent derived views a kernel will need
+        (host-side, outside timed regions — the ``main.cpp:60-81``
+        convention). Default: nothing to do. TCSC overrides this to build
+        its padded gather tables only when the M-chunked path will run."""
+        return self
+
 
 def _as_int8_dense(W: np.ndarray) -> np.ndarray:
     W = np.asarray(W)

@@ -78,16 +78,21 @@ class TCSC(TernaryFormat):
     # flattened companion view (derived; see module docstring)
     col_ids_pos: np.ndarray    # (nnz_pos,) int32
     col_ids_neg: np.ndarray    # (nnz_neg,) int32
-    # padded per-column gather tables (cap, N), derived like col_ids: slot s
-    # of column n holds the s-th row index of n's stream, padded with K (an
-    # appended zero column). Consumed by the huge-config M-chunked kernel
-    # path, where XLA's narrow scatter collapses (ops/xla_kernels.py);
-    # built at construction like every container, i.e. outside any timed
-    # region (main.cpp:60-81 convention). Not counted in size_bytes.
-    ell_pos: np.ndarray        # (cap_pos, N) int32
-    ell_neg: np.ndarray        # (cap_neg, N) int32
     K: int
     N: int
+    # Padded per-column gather tables (cap, N), derived like col_ids: slot s
+    # of column n holds the s-th row index of n's stream, padded with K (an
+    # appended zero column). Consumed ONLY by the huge-config M-chunked
+    # kernel path, where XLA's narrow scatter collapses (ops/xla_kernels.py).
+    # Built LAZILY (prepare()/with_ell_tables()): cap is the max column
+    # degree, so one dense-ish column makes them dwarf the CSC arrays —
+    # round 3 paid cap*N*4 bytes of host RAM + device transfer on every
+    # instance even when the chunked path never ran (ADVICE round 3, low).
+    # Not counted in size_bytes (derived data), but they ARE the real HBM
+    # stream of the chunked kernel — its own-bytes accounting must use
+    # them, not the CSC arrays.
+    ell_pos: np.ndarray = None  # (cap_pos, N) int32, or None until prepared
+    ell_neg: np.ndarray = None  # (cap_neg, N) int32, or None until prepared
 
     @classmethod
     def from_dense(cls, W: np.ndarray) -> "TCSC":
@@ -102,18 +107,43 @@ class TCSC(TernaryFormat):
                 csp, csn, rip, rin, cip, cin = native.tcsc_arrays(W)
                 return cls(col_start_pos=csp, col_start_neg=csn,
                            row_index_pos=rip, row_index_neg=rin,
-                           col_ids_pos=cip, col_ids_neg=cin,
-                           ell_pos=_ell_table(rip, csp, cip, K, N),
-                           ell_neg=_ell_table(rin, csn, cin, K, N),
-                           K=K, N=N)
+                           col_ids_pos=cip, col_ids_neg=cin, K=K, N=N)
         csp, rip, cip = _csc_arrays(W, 1)
         csn, rin, cin = _csc_arrays(W, -1)
         return cls(col_start_pos=csp, col_start_neg=csn,
                    row_index_pos=rip, row_index_neg=rin,
-                   col_ids_pos=cip, col_ids_neg=cin,
-                   ell_pos=_ell_table(rip, csp, cip, K, N),
-                   ell_neg=_ell_table(rin, csn, cin, K, N),
-                   K=K, N=N)
+                   col_ids_pos=cip, col_ids_neg=cin, K=K, N=N)
+
+    def with_ell_tables(self) -> "TCSC":
+        """A copy carrying the padded per-column gather tables (host-built
+        from the canonical CSC arrays; a no-op if already present). The
+        copy is memoized on the instance so a sweep's M axis builds the
+        tables at most once per container."""
+        if self.ell_pos is not None:
+            return self
+        cached = getattr(self, "_ell_cached", None)
+        if cached is None:
+            import dataclasses as _dc
+            csp = np.asarray(self.col_start_pos)
+            csn = np.asarray(self.col_start_neg)
+            rip = np.asarray(self.row_index_pos)
+            rin = np.asarray(self.row_index_neg)
+            cached = _dc.replace(
+                self,
+                ell_pos=_ell_table(rip, csp, np.asarray(self.col_ids_pos),
+                                   self.K, self.N),
+                ell_neg=_ell_table(rin, csn, np.asarray(self.col_ids_neg),
+                                   self.K, self.N))
+            object.__setattr__(self, "_ell_cached", cached)
+        return cached
+
+    def prepare(self, M: int) -> "TCSC":
+        """Materialize the gather tables iff an (M, ...) SpMM would take the
+        M-chunked path (the kernel cannot build host tables under a trace)."""
+        from ternary_spgemm_tpu.ops.xla_kernels import _GATHER_CHUNK_FLOATS
+        if M * self.nnz > _GATHER_CHUNK_FLOATS:
+            return self.with_ell_tables()
+        return self
 
     def to_dense(self) -> np.ndarray:
         W = np.zeros((self.K, self.N), dtype=np.int8)

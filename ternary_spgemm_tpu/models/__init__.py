@@ -14,7 +14,11 @@ from ternary_spgemm_tpu.models.bitlinear import (
     ternary_quantize,
     ternary_quantize_ste,
 )
-from ternary_spgemm_tpu.models.exported import ExportedBitLinear, ExportedMLP
+from ternary_spgemm_tpu.models.exported import (
+    ExportedBitLinear,
+    ExportedMLP,
+    autotune_exported,
+)
 from ternary_spgemm_tpu.models.flax_module import FlaxBitLinear, FlaxTernaryMLP
 from ternary_spgemm_tpu.models.train import (
     make_sharded_lm_train_step,
@@ -53,6 +57,7 @@ __all__ = [
     "make_train_step", "make_sharded_train_step", "make_sharded_lm_train_step",
     "mse_loss", "param_shardings",
     "FlaxBitLinear", "FlaxTernaryMLP", "ExportedBitLinear", "ExportedMLP",
+    "autotune_exported",
     "BitTransformerBlock", "BitTransformerConfig", "BitTransformerLM",
     "ExportedTransformerBlock", "lm_loss", "lm_param_shardings",
     "make_lm_train_step",

@@ -75,13 +75,55 @@ class ExportedBitLinear:
                    format_cls.from_dense(np.ascontiguousarray(W.T), **fmt_kwargs),
                    gamma, bias, alpha, kernel=kernel)
 
+    def resolve_kernel(self, M: int, *, absmax: int = 127,
+                       integer: bool = True, cache_path: Optional[str] = None,
+                       verbose: bool = False) -> str:
+        """Replace ``kernel='auto'``/``None`` with the MEASURED winner for an
+        ``(M, K)`` activation batch in the given domain (``ops/autotune.py``;
+        memoized per shape+domain, optionally JSON-persisted so serving
+        processes skip the probe). The reference's dispatch policy is its
+        hard-coded registration order (``main.cpp:76-190``); here the winner
+        genuinely shifts with shape, so deployment measures once instead."""
+        from ternary_spgemm_tpu.formats.generate import generate_x
+        from ternary_spgemm_tpu.ops.autotune import autotune
+
+        X = generate_x(M, self.fmt.shape[0], seed=0, value_range=absmax)
+        if not integer:
+            X = X + 0.5   # forces the fully-exact-kernel domain
+        self.kernel = autotune(jnp.asarray(X), self.fmt, self.bias, self.alpha,
+                               cache_path=cache_path, verbose=verbose)
+        self._f = None
+        return self.kernel
+
     def __call__(self, x):
-        if self._f is None:
-            self._f = _make_vjp_fn(self.fmt.shape[0], self.gamma, self.kernel,
-                                   has_alpha=self.alpha is not None)
+        kernel = self.kernel
+        if kernel == "auto":
+            if isinstance(x, jax.core.Tracer):
+                # A timing probe cannot run DURING a trace (every op would
+                # just emit more tracers). Fall back to the safe default
+                # dispatch for this compile; the layer stays 'auto' so a
+                # later concrete call (or resolve_kernel before jit) still
+                # gets the measured winner.
+                import warnings
+                warnings.warn(
+                    "ExportedBitLinear(kernel='auto') first called under "
+                    "jit: cannot measure during a trace — using default "
+                    "exact dispatch for this compile. Call resolve_kernel()/"
+                    "autotune_exported() before jit to bake the measured "
+                    "winner in.", stacklevel=2)
+                kernel = None
+            else:
+                from ternary_spgemm_tpu.ops.autotune import autotune
+                self.kernel = kernel = autotune(x, self.fmt, self.bias,
+                                                self.alpha)
+        if self._f is None or self._f[0] != kernel:
+            self._f = (kernel,
+                       _make_vjp_fn(self.fmt.shape[0], self.gamma, kernel,
+                                    has_alpha=self.alpha is not None))
+        f = self._f[1]
         if self.alpha is None:
-            return self._f(x, self.bias, self.fmt, self.fmt_t)
-        return self._f(x, self.bias, self.alpha, self.fmt, self.fmt_t)
+            return f(x, self.bias, self.fmt, self.fmt_t)
+        return f(x, self.bias, self.alpha, self.fmt, self.fmt_t)
 
 
 def _flatten_bitlinear(l: "ExportedBitLinear"):
@@ -129,6 +171,26 @@ jax.tree_util.register_pytree_node(
     ExportedMLP,
     lambda m: (tuple(m.layers), None),
     lambda _, layers: ExportedMLP(layers))
+
+
+def autotune_exported(model, M: int, *, absmax: int = 127,
+                      integer: bool = True,
+                      cache_path: Optional[str] = None,
+                      verbose: bool = False) -> dict:
+    """Resolve every :class:`ExportedBitLinear` in ``model`` (any registered
+    pytree: ExportedMLP, ExportedTransformerLM, ...) to its MEASURED fastest
+    kernel for batch ``M`` in the given activation domain. Layers sharing a
+    (shape, domain) reuse one probe (the autotune memo); ``cache_path``
+    persists winners across serving processes. Returns {(K, N): kernel}."""
+    picks = {}
+    layers = [l for l in jax.tree_util.tree_leaves(
+        model, is_leaf=lambda o: isinstance(o, ExportedBitLinear))
+        if isinstance(l, ExportedBitLinear)]
+    for layer in layers:
+        name = layer.resolve_kernel(M, absmax=absmax, integer=integer,
+                                    cache_path=cache_path, verbose=verbose)
+        picks[layer.fmt.shape] = name
+    return picks
 
 
 def _zero_cotangent(tree):

@@ -104,6 +104,8 @@ def autotune(X, fmt, bias=None, alpha=None, *,
 
     with _LOCK:
         if key in _CACHE:
+            if cache_path:   # write-through: persist memo hits too
+                _write_disk(cache_path, skey, _CACHE[key])
             return _CACHE[key]
         if cache_path and os.path.exists(cache_path):
             try:
@@ -144,15 +146,21 @@ def autotune(X, fmt, bias=None, alpha=None, *,
     with _LOCK:
         _CACHE[key] = best
         if cache_path:
-            disk = {}
-            if os.path.exists(cache_path):
-                try:
-                    disk = json.load(open(cache_path))
-                except Exception:
-                    disk = {}
-            disk[skey] = best
-            tmp = cache_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(disk, f, indent=1)
-            os.replace(tmp, cache_path)
+            _write_disk(cache_path, skey, best)
     return best
+
+
+def _write_disk(cache_path: str, skey: str, best: str):
+    disk = {}
+    if os.path.exists(cache_path):
+        try:
+            disk = json.load(open(cache_path))
+        except Exception:
+            disk = {}
+    if disk.get(skey) == best:
+        return
+    disk[skey] = best
+    tmp = cache_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(disk, f, indent=1)
+    os.replace(tmp, cache_path)

@@ -99,9 +99,11 @@ def _tcsc_chunked(X, fmt: TCSC):
     exactly where nnz grows, collapsing throughput at the grid corners
     (measured: 8x slower than the padded gather at the chipgate shape). The
     chunked path instead consumes the container's padded per-column gather
-    tables (``TCSC.ell_pos/ell_neg``, built at construction like every
-    other container array): every M-chunk is a pure gather + slot-axis
-    reduction, columns on the minor axis (the full-rate TPU orientation).
+    tables (``TCSC.ell_pos/ell_neg``, built lazily by ``fmt.prepare(M)`` —
+    they are cap*N*4 bytes each and only this path reads them; they, not
+    the CSC arrays, are this path's real HBM weight stream): every M-chunk
+    is a pure gather + slot-axis reduction, columns on the minor axis (the
+    full-rate TPU orientation).
     Summation stays exact for the integer test distribution (|partial
     sums| < 2^24), so results match the direct path bit-for-bit there."""
     M, K = X.shape
@@ -139,6 +141,17 @@ def tcsc_kernel(X, fmt: TCSC, bias, alpha=None):
     X = jnp.asarray(X, jnp.float32)
     nnz = int(fmt.row_index_pos.shape[0] + fmt.row_index_neg.shape[0])
     if X.shape[0] * nnz > _GATHER_CHUNK_FLOATS:
+        if fmt.ell_pos is None:
+            # The gather tables are built lazily (they can dwarf the CSC
+            # arrays; ADVICE round 3). Eager calls build them here; under a
+            # trace the leaves are abstract, so the caller must prepare()
+            # the container first (the bench harness does).
+            if isinstance(fmt.row_index_pos, jax.core.Tracer):
+                raise ValueError(
+                    "M-chunked BaseTCSC needs the padded gather tables: "
+                    "call fmt.prepare(M) (or fmt.with_ell_tables()) before "
+                    "jit-tracing the kernel")
+            fmt = fmt.with_ell_tables()
         return finish(_tcsc_chunked(X, fmt), bias, alpha)
     pos = _segment_cols(jnp.take(X, fmt.row_index_pos, axis=1),
                         fmt.col_ids_pos, fmt.N, sorted_ids=True)

@@ -69,3 +69,47 @@ def test_autotune_rejects_tracer():
     with pytest.raises(ValueError, match="concrete"):
         jax.jit(lambda x: ternary_spgemm(x, fmt, b, kernel="auto"))(
             jnp.asarray(X, jnp.float32))
+
+
+def test_exported_layer_kernel_auto(tmp_path):
+    """Serving path (VERDICT round-3 next #8): an exported layer built with
+    kernel='auto' resolves to the measured winner on first call — eagerly
+    on concrete activations, conservatively (exact-f32 domain) under a
+    trace — and autotune_exported resolves a whole frozen model."""
+    import jax
+
+    from ternary_spgemm_tpu.models import (ExportedBitLinear, ExportedMLP,
+                                           autotune_exported)
+
+    W, _, X, b = _setup()
+    _CACHE.clear()
+    layer = ExportedBitLinear.from_dense(W, TiledBitplane, bias=b,
+                                         kernel="auto")
+    want = np.asarray(reference.dense_gemm(jnp.asarray(X, jnp.float32), W, b))
+    got = np.asarray(layer(jnp.asarray(X, jnp.float32)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert layer.kernel not in (None, "auto")
+
+    # traced first call: cannot probe during a trace — must warn, fall back
+    # to the safe default dispatch for that compile, and stay 'auto'
+    layer2 = ExportedBitLinear.from_dense(W, TiledBitplane, bias=b,
+                                          kernel="auto")
+    with pytest.warns(UserWarning, match="cannot measure during a trace"):
+        got2 = np.asarray(jax.jit(lambda l, x: l(x))(
+            layer2, jnp.asarray(X, jnp.float32)))
+    np.testing.assert_allclose(got2, want, atol=1e-5)
+    assert layer2.kernel == "auto"
+    # explicit pre-jit resolution bakes the measured winner in
+    name = layer2.resolve_kernel(8, absmax=127)
+    assert name not in (None, "auto")
+    got3 = np.asarray(jax.jit(lambda l, x: l(x))(
+        layer2, jnp.asarray(np.clip(X, -127, 127), jnp.float32)))
+    assert got3.shape == want.shape
+
+    # whole-model resolution with the JSON cache
+    mlp = ExportedMLP([ExportedBitLinear.from_dense(W, TiledBitplane, bias=b,
+                                                    kernel="auto")])
+    picks = autotune_exported(mlp, 8, absmax=127,
+                              cache_path=str(tmp_path / "serve.json"))
+    assert picks and all(v not in (None, "auto") for v in picks.values())
+    assert (tmp_path / "serve.json").exists()

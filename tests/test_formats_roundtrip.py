@@ -137,7 +137,13 @@ def test_formats_are_pytrees():
     import jax
     W = generate_ternary(32, 64, 4, seed=0)
     f = TCSC.from_dense(W)
-    leaves = jax.tree_util.tree_leaves(f)
-    assert len(leaves) == len(TCSC.ARRAY_FIELDS) == 8
+    # the padded gather tables are lazy (ADVICE round 3): 6 leaves until
+    # prepare()/with_ell_tables() materializes them (None = empty subtree)
+    assert len(jax.tree_util.tree_leaves(f)) == 6
+    fe = f.with_ell_tables()
+    assert len(jax.tree_util.tree_leaves(fe)) == len(TCSC.ARRAY_FIELDS) == 8
+    assert fe.ell_pos.shape[1] == f.N
+    assert f.prepare(1) is f          # small M never needs the tables
     f2 = jax.tree_util.tree_map(lambda x: x, f)
     np.testing.assert_array_equal(f2.to_dense(), W)
+    np.testing.assert_array_equal(fe.to_dense(), W)

@@ -182,6 +182,23 @@ def test_basetcsc_chunked_matches_unchunked(monkeypatch):
         direct, np.asarray(xla_kernels.tcsc_kernel(X, fmt, b, a)))
 
 
+@pytest.mark.parametrize("fuse_split", [True, False])
+@pytest.mark.parametrize("stacked", [True, False])
+def test_bitplane_i8_fuse_split_paths(problem, fuse_split, stacked):
+    """The v4 in-kernel int8 split (fuse_split=True, the default) and the v3
+    two-operand pre-pass must agree exactly with the dense reference in both
+    stacked and unstacked tile modes (VERDICT round-3 next #2)."""
+    from ternary_spgemm_tpu.ops.pallas_kernels import (
+        pallas_tiled_bitplane_i8_kernel)
+
+    W, X, b, alpha, _, want_prelu = problem
+    fmt = _build(TiledBitplane, W)
+    got = np.asarray(pallas_tiled_bitplane_i8_kernel(
+        X, fmt, b, alpha, fuse_split=fuse_split, stacked=stacked))
+    res = reference.compare_results(got, want_prelu)
+    assert res, f"fuse_split={fuse_split} stacked={stacked}: {res}"
+
+
 @pytest.mark.parametrize("M_big", [200, 300])
 def test_bitplane_family_unstacked_large_m(M_big):
     """M > 128 takes the v3 UNstacked tile path (docs/perf.md §13) — cover

