@@ -65,6 +65,17 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _compiler_params():
+    """Raise the scoped-VMEM cap for the tiled kernel family: the compiler
+    default is 16 MiB, which the measured-best tiles exceed (v4 fused f32
+    operands 16.2-18 MiB; TiledDense_i8 at the chipgate shape 16.61 MiB with
+    the PReLU epilogue live). Physical v5e VMEM is far larger; 64 MiB keeps
+    double-buffering headroom while unlocking the TM=512 / TNs=4096 tiles
+    that halve decode passes (kernel_v4_study.json)."""
+    return None if _interpret() else pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _pad2(a, m0: int, m1: int):
     s0, s1 = a.shape
     p0, p1 = round_up(s0, m0) - s0, round_up(s1, m1) - s1
@@ -141,6 +152,7 @@ def _dense_fused(X, Wd, bias, alpha, *, bf16: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Xp.shape[0], Wp.shape[1]), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(Xp, Wp, bp, ap)
     return out[:M, :N]
@@ -231,6 +243,7 @@ def _packed_fused(X, packed, K: int, N: int, factor: int, bias, alpha, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Xp.shape[0], Pp.shape[1]), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(Xp, Pp, bp, ap)
     return out[:M, :N]
@@ -351,6 +364,7 @@ def _dense_i8_fused(X, Wd, bias, alpha, *, tm: int = 256, tn: int = 1024,
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((a8.shape[0], Wp.shape[1]), jnp.float32),
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )
     w_spec = pl.BlockSpec((TK, TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM)
@@ -465,6 +479,7 @@ def _packed_i8_fused(X, packed, K: int, N: int, factor: int, bias, alpha, *,
         out_shape=jax.ShapeDtypeStruct((a8.shape[0], Pp.shape[1]), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.int32),
                         pltpu.VMEM((1, TN), jnp.int32)],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(a8, r8, Pp, bp, ap)
     return out[:M, :N]
@@ -595,6 +610,7 @@ def pallas_blockpacked_i8_kernel(X, fmt: BlockPackedTernary, bias, alpha=None,
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((a8.shape[0], Pp.shape[1]), jnp.float32),
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )
     if stacked:
@@ -689,6 +705,7 @@ def _tiled_call(kernel, a8, r8, tiles, bp, ap, *, TM, TK_eff, TN,
         scratch_shapes=[pltpu.VMEM((scratch_rows, TNs), jnp.int32)] +
                        ([pltpu.VMEM((1, TNs), jnp.int32)]
                         if wsum_scratch else []),
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )
     args = (a8, tiles, bp, ap) if r8 is None else (a8, r8, tiles, bp, ap)
@@ -904,6 +921,7 @@ def pallas_tiled_blockpacked_i8_kernel(X, fmt: TiledBlockPacked, bias,
         out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2 * TM, TN), jnp.int32),
                         pltpu.VMEM((1, TN), jnp.int32)],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(ar, tiles, bp, ap)
     return out[:M, :fmt.N]
@@ -1017,18 +1035,23 @@ def _sub_tile_n(TN: int, cap: int = 2048) -> int:
 
 
 def _bitplane_tiles(M: int, TN: int):
-    """v3 tile rule (measured, docs/perf.md §13) -> (TM, TNs, split, stacked).
+    """v4 tile rule (measured, docs/perf.md §14) -> (TM, TNs, split, stacked).
 
     Serving M (<= 128 rows padded): one stacked (a; r) M-tile over full-width
-    tiles. Larger M: unstacked dots, TM = 256, compute tile narrowed to 2048
-    lanes (the accumulator budget; BlockSpec sub-tiling keeps the plane DMA
-    byte-row-contiguous). The compute width is always an exact divisor of the
-    storage tile (see :func:`_sub_tile_n`)."""
+    tiles. Larger M: unstacked dots with TM = 512 and full-width (up to 4096
+    lane) compute tiles — the v3 TM=256/TNs=2048 caps existed only to fit the
+    compiler's default 16 MiB scoped-VMEM limit; with the cap raised
+    (``_bitplane_call``) the taller/wider tiles halve both the number of
+    weight-decode passes (the binding resource at big K*N) and the X
+    re-streaming: measured 105.5 -> 98.0 us at M=512 K=N=4096 and
+    810.8 -> 783.6 us at M=512 K=N=11008 (kernel_v4_study.json). The compute
+    width is always an exact divisor of the storage tile
+    (see :func:`_sub_tile_n`)."""
     Mr = round_up(M, 32)
     if Mr <= 128:
         return Mr, TN, 1, True
-    TNs = _sub_tile_n(TN)
-    return min(Mr, 256), TNs, TN // TNs, False
+    TNs = _sub_tile_n(TN, cap=4096)
+    return min(Mr, 512), TNs, TN // TNs, False
 
 
 def _bitplane_call(kernel, xs, x_rows, fmt, plane, bp, ap, *, wsum=None,
@@ -1058,13 +1081,6 @@ def _bitplane_call(kernel, xs, x_rows, fmt, plane, bp, ap, *, wsum=None,
         ws_args = (wsum,)
     vec = pl.BlockSpec((1, TNs), lambda i, j, k: (0, j),
                        memory_space=pltpu.VMEM)
-    # The compiler's default scoped-VMEM cap is 16 MiB; the v4 fused-split
-    # tiles (f32 X operand + i32 accumulator + double-buffered plane slabs)
-    # need ~16.2-18 MiB at TM=256. Physical v5e VMEM is far larger — raise
-    # the cap rather than shrink the tiles (shrinking costs extra decode
-    # passes, the measured binding resource at big K*N).
-    params = None if _interpret() else pltpu.CompilerParams(
-        vmem_limit_bytes=64 * 1024 * 1024)
     out = pl.pallas_call(
         kernel,
         grid=(Mp // TM, gn * split, nb),
@@ -1073,7 +1089,7 @@ def _bitplane_call(kernel, xs, x_rows, fmt, plane, bp, ap, *, wsum=None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
         scratch_shapes=scratch_shapes,
-        compiler_params=params,
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )
     return out(*xs, plane, *ws_args, bp, ap)
@@ -1217,7 +1233,13 @@ def pallas_tiled_bitplane_i8_kernel(X, fmt: TiledBitplane, bias, alpha=None,
     if stacked is None:
         stacked = stacked_rule
     if fuse_split is None:
-        fuse_split = round_up(M, 32) <= 128   # the measured v4 rule
+        # Measured v4 rule: fuse the split in-register only when X streams
+        # through the kernel ONCE (single N storage tile, serving M) — there
+        # the win is deleting the pre-pass dispatches (5.27 vs 5.33 us at
+        # the north star). With gn > 1 the fused f32 operand re-streams
+        # 2 B/element extra per N-tile and loses (82.3 vs 81.2 us at
+        # K=N=11008 M=32; 890.8 vs 810.8 at M=512).
+        fuse_split = stacked and gn == 1
     if tm is not None:
         TM = tm
     if tns is not None and TN % tns == 0:
@@ -1482,6 +1504,7 @@ def pallas_ell_deposit_i8_kernel(X, fmt: TiledEllDeposit, bias, alpha=None,
                           tn=TN, tm=TM, has_alpha=alpha is not None),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(jnp.asarray(fmt.cap_pos), jnp.asarray(fmt.cap_neg), ar,
       jnp.asarray(fmt.plane), jnp.asarray(fmt.wsum), bp, ap)
@@ -1612,6 +1635,7 @@ def pallas_tiled_ell_kernel(X, fmt: TiledEllTCSC, bias, alpha=None):
                           tm=TM, tn=TN, has_alpha=alpha is not None),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(jnp.asarray(fmt.cap_pos), jnp.asarray(fmt.cap_neg), Xp,
       jnp.asarray(fmt.plane), bp, ap)
@@ -1654,6 +1678,7 @@ def pallas_ell_gather_kernel(X, fmt: BlockedEllTCSC, bias, alpha=None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Xp.shape[0], N_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(Xp, jnp.asarray(fmt.idx_pos), jnp.asarray(fmt.idx_neg), bp, ap)
     return out[:M, :N]

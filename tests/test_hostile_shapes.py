@@ -114,8 +114,9 @@ def test_sub_tile_n_always_covers():
         assert TNs <= 2048 or TNs == TN, TN
         TM, TNs2, split, stacked = _bitplane_tiles(300, TN)
         assert split * TNs2 == TN, TN
+        assert TNs2 <= 4096 or TNs2 == TN, TN
         assert not stacked
-    # the exact widths the old rule broke on
-    for TN in (2560, 3072, 3840):
+    # the exact widths the old (min(cap, TN) + truncating split) rule broke on
+    for TN in (2560, 3072, 3840, 4096 + 2560):
         _, TNs, split, _ = _bitplane_tiles(300, TN)
-        assert split * TNs == TN and TNs <= 2048, TN
+        assert split * TNs == TN and TNs <= 4096, TN
