@@ -75,9 +75,10 @@ def main(argv=None) -> int:
     results = {"preset": args.preset, "shape": shape, "format": args.fmt,
                "results": {}}
 
-    def record(name, seconds):
-        proj_flops = 2 * B * T * (4 * cfg.d_model ** 2
-                                  + 3 * cfg.d_model * cfg.d_ff)
+    def record(name, seconds, ntok=None):
+        ntok = B * T if ntok is None else ntok
+        proj_flops = 2 * ntok * (4 * cfg.d_model ** 2
+                                 + 3 * cfg.d_model * cfg.d_ff)
         rec = {"seconds": seconds,
                "proj_tflops_effective": proj_flops / seconds / 1e12}
         results["results"][name] = rec
@@ -135,6 +136,50 @@ def main(argv=None) -> int:
                 results["results"][f"exported/{kname}"] = {
                     "error": f"{type(e).__name__}: {e}"}
                 print(f"exported/{kname} FAILED: {e}", flush=True)
+
+        # Measured dispatch (VERDICT round-3 next #8): every projection picks
+        # its own autotuned winner for its (M, K, N) instead of one fixed
+        # kernel for the whole block — the reference's dispatch policy is a
+        # hard-coded registration order (main.cpp:76-190); here it is a
+        # measurement. Two regimes: prefill-shaped (M=B*T) and decode-shaped
+        # (M=B, the token-by-token serving shape).
+        from ternary_spgemm_tpu.models import autotune_exported
+
+        for tag, M_resolve, z in [("prefill", B * T, x), ("decode", B,
+                                                          x[:, :1, :])]:
+            ntok = z.shape[0] * z.shape[1]
+            try:
+                exported = ExportedTransformerBlock.from_params(
+                    cfg, params, fmt_cls, kernel="auto")
+                picks = autotune_exported(
+                    exported, M_resolve, absmax=512,
+                    cache_path="bench_artifacts/autotune_cache.json")
+                t = time_device_loop(lambda q, blk: blk(q), z,
+                                     aux=(exported,),
+                                     min_seconds=args.min_seconds)
+                record(f"exported/auto_{tag}", t.seconds, ntok=ntok)
+                results["results"][f"exported/auto_{tag}"]["picks"] = {
+                    f"{k[0]}x{k[1]}": v for k, v in picks.items()}
+            except Exception as e:
+                results["results"][f"exported/auto_{tag}"] = {
+                    "error": f"{type(e).__name__}: {e}"}
+                print(f"exported/auto_{tag} FAILED: {e}", flush=True)
+
+        # fixed-kernel decode-shaped baseline for the auto comparison
+        fixed_name = ("PallasTiledBitplane_i8"
+                      if "PallasTiledBitplane_i8" in kernels
+                      else (kernels[0] if kernels else None))
+        if fixed_name:
+            try:
+                exported_f = ExportedTransformerBlock.from_params(
+                    cfg, params, fmt_cls, kernel=fixed_name)
+                t = time_device_loop(lambda q, blk: blk(q), x[:, :1, :],
+                                     aux=(exported_f,),
+                                     min_seconds=args.min_seconds)
+                record(f"exported/{fixed_name}_decode", t.seconds, ntok=B)
+            except Exception as e:
+                results["results"][f"exported/{fixed_name}_decode"] = {
+                    "error": f"{type(e).__name__}: {e}"}
 
     if "a8" in regimes:
         # serving path: every projection through apply_exported_a8

