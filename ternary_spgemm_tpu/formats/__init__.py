@@ -1,7 +1,8 @@
 """Ternary sparse container formats (logical + TPU-physical layouts)."""
 
 from ternary_spgemm_tpu.formats.base import TernaryFormat, all_formats, register_format
-from ternary_spgemm_tpu.formats.bitplane import TiledBitplane, bitplane_rowmap
+from ternary_spgemm_tpu.formats.bitplane import (TiledBitplane,
+    TiledNibblePair, bitplane_rowmap)
 from ternary_spgemm_tpu.formats.blocked import BlockedTCSC, InterleavedBlockedTCSC
 from ternary_spgemm_tpu.formats.blocked_ell import BlockedEllTCSC
 from ternary_spgemm_tpu.formats.ell import EllTCSC
@@ -32,7 +33,8 @@ __all__ = [
     "InterleavedTCSC",
     "EllTCSC", "PackedCSC", "PackedTernary2Bit", "PackedTernary53",
     "BlockPackedTernary", "DenseTernary", "TiledBlockPacked",
-    "TiledDenseTernary", "TiledEllTCSC", "TiledBitplane", "bitplane_rowmap",
+    "TiledDenseTernary", "TiledEllTCSC", "TiledBitplane", "TiledNibblePair",
+    "bitplane_rowmap",
     "TiledEllDeposit", "deposit_rowmap",
     "pack_signs_base3", "unpack_signs_base3",
     "generate_ternary", "generate_x", "generate_bias", "generate_alpha",

@@ -154,3 +154,88 @@ class TiledBitplane(TernaryFormat):
     @property
     def shape(self):
         return (self.K, self.N)
+
+
+@register_format
+class TiledNibblePair(TernaryFormat):
+    """Tile-contiguous signed-nibble words — 4 bits/weight, half the decode ops.
+
+    The one untried cell of the round-3 decode design space (VERDICT.md
+    round-3 next-#9): the 2-bit :class:`TiledBitplane` is *decode-bound* at
+    some serving shapes (``decode_roofline.json``: decode_ideal > byte_ideal
+    at 32x4096^2), so trade 2x the plane bytes for ~half the VPU decode work.
+    Each int32 word holds 8 weights as 4-bit two's-complement nibbles
+    (+1 -> 0x1, -1 -> 0xF, 0 -> 0x0); in-kernel decode is one mask (low
+    nibbles), one shift+mask (high nibbles) and a 3-op sign-extend per group
+    — ~1.1 int32-lane VPU ops/weight vs ~2 for the bitplane deposit+merge —
+    then the same ``pltpu.bitcast(int32 -> int8)`` row expansion feeds the
+    MXU dots. Same reference lineage as TiledBitplane (the ``readme.md:
+    108-111`` roadmap codec, done TPU-first); same wsum companion for the
+    int8-split epilogue.
+
+    Dense-row mapping (mirrors :func:`bitplane_rowmap` with nibbles for
+    bits): decoded row r of a B = 8*tkb block comes from word row ``r // 4``
+    byte ``r % 4`` — LOW nibble for r < 4*tkb, HIGH nibble (shifted) for
+    r >= 4*tkb, so the kernel dots X[:, :H] against the low group and
+    X[:, H:] against the high group exactly like the bitplane halves.
+    """
+
+    ARRAY_FIELDS = ("words", "wsum")
+
+    words: np.ndarray   # (nb, gn, tkb, tile_n) int32 nibble-pair words
+    wsum: np.ndarray    # (nb, gn, 1, tile_n) int32 per-(block, tile) col sums
+    K: int
+    N: int
+    tkb: int            # word-rows per block; block covers 8*tkb dense rows
+    tile_n: int
+
+    @classmethod
+    def from_dense(cls, W: np.ndarray, tkb: int = None,
+                   tile_n: int = 4096) -> "TiledNibblePair":
+        W = _as_int8_dense(W)
+        K, N = W.shape
+        if tkb is None:
+            tkb = min(128, max(16, round_up(K, 128) // 8))
+        B = 8 * tkb
+        tile_n = min(tile_n, round_up(N, 128))
+        Kp, Np = round_up(K, B), round_up(N, tile_n)
+        Wp = np.zeros((Kp, Np), np.int8)
+        Wp[:K, :N] = W
+        nb, gn = Kp // B, Np // tile_n
+        Wb = Wp.reshape(nb, B, gn, tile_n)
+        H = 4 * tkb
+        # 4-bit two's complement: -1 (0xFF as uint8) & 0xF = 0xF
+        codes = Wb.view(np.uint8) & 0xF
+        nib = codes[:, :H] | (codes[:, H:] << 4)        # (nb, H, gn, tn)
+        # word row t, byte b <- nibble row 4t+b (little-endian, matching the
+        # device bitcast byte order probed in _words_to_byte_rows)
+        words = np.ascontiguousarray(
+            nib.reshape(nb, tkb, 4, gn, tile_n).transpose(0, 3, 1, 4, 2))
+        words = words.view(np.int32)[..., 0]            # (nb, gn, tkb, tn)
+        wsum = np.ascontiguousarray(
+            Wb.astype(np.int32).sum(axis=1)[:, :, None, :].transpose(0, 2, 1, 3)
+        ).reshape(nb, gn, 1, tile_n)
+        return cls(words=words, wsum=wsum, K=K, N=N, tkb=tkb, tile_n=tile_n)
+
+    @property
+    def num_blocks(self) -> int:
+        return self.words.shape[0]
+
+    def to_dense(self) -> np.ndarray:
+        nb, gn, tkb, tn = self.words.shape
+        u8 = np.ascontiguousarray(self.words).view(np.uint8).reshape(
+            nb, gn, tkb, tn, 4)
+        # nibble row 4t+b = byte b of word row t
+        nib = u8.transpose(0, 2, 4, 1, 3).reshape(nb, 4 * tkb, gn * tn)
+        lo = (nib & 0xF).astype(np.int16)
+        hi = (nib >> 4).astype(np.int16)
+        sx = lambda v: (((v + 8) & 0xF) - 8).astype(np.int8)
+        W = np.concatenate([sx(lo), sx(hi)], axis=1).reshape(-1, gn * tn)
+        return W[:self.K, :self.N]
+
+    def size_bytes(self) -> int:
+        return int(4 * self.words.size + 4 * self.wsum.size)
+
+    @property
+    def shape(self):
+        return (self.K, self.N)

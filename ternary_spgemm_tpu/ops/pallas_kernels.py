@@ -51,6 +51,7 @@ from ternary_spgemm_tpu.formats import (
     PackedTernary53,
     TiledBitplane,
     TiledBlockPacked,
+    TiledNibblePair,
     TiledDenseTernary,
     TiledEllDeposit,
     TiledEllTCSC,
@@ -1055,11 +1056,13 @@ def _bitplane_tiles(M: int, TN: int):
 
 
 def _bitplane_call(kernel, xs, x_rows, fmt, plane, bp, ap, *, wsum=None,
-                   TM, TNs, split, Mp, scratch_shapes):
+                   TM, TNs, split, Mp, scratch_shapes, plane_rows=None):
     """Shared pallas_call plumbing for the bitplane kernel family: grid
     (m, n-subtile, k-block), tile-contiguous plane slabs, fused epilogue
     operands. ``xs``/``x_rows``: activation operands and their block rows
-    (2TM stacked, TM each unstacked)."""
+    (2TM stacked, TM each unstacked). ``plane_rows``: sublane rows of one
+    plane slab — 2*tkb uint8 for the bitplanes (default), tkb int32 for the
+    nibble-pair words."""
     tkb, TN = fmt.tkb, fmt.tile_n
     B = 8 * tkb
     nb, gn = plane.shape[0], plane.shape[1]
@@ -1069,7 +1072,7 @@ def _bitplane_call(kernel, xs, x_rows, fmt, plane, bp, ap, *, wsum=None,
             "the sub-tiling must cover the storage tile exactly")
     x_specs = [pl.BlockSpec((rows, B), lambda i, j, k: (i, k),
                             memory_space=pltpu.VMEM) for rows in x_rows]
-    plane_spec = pl.BlockSpec((1, 1, 2 * tkb, TNs),
+    plane_spec = pl.BlockSpec((1, 1, plane_rows or 2 * tkb, TNs),
                               lambda i, j, k: (k, j // split, 0, j % split),
                               memory_space=pltpu.VMEM)
     ws_specs = []
@@ -1284,6 +1287,165 @@ def pallas_tiled_bitplane_i8_kernel(X, fmt: TiledBitplane, bias, alpha=None,
             functools.partial(_bitplane_i8u_kernel, tkb=tkb,
                               has_alpha=alpha is not None),
             (a8, r8), (TM, TM), fmt, plane, bp, ap,
+            scratch_shapes=[pltpu.VMEM((TM, TNs), jnp.int32),
+                            pltpu.VMEM((1, TNs), jnp.int32)], **common)
+    return out[:M, :fmt.N]
+
+
+# ---------------------------------------------------------------------------
+# 4-bit nibble-pair kernel (PallasTiledNibblePair_i8) — the round-3 verdict's
+# untried design-space cell (VERDICT.md next-#9): 2x the plane bytes of the
+# 2-bit bitplane for ~half the VPU decode ops, aimed at the shapes
+# decode_roofline.json flags as decode-bound (32x4096^2).
+# ---------------------------------------------------------------------------
+
+_NIB_LO = 0x0F0F0F0F
+_NIB_SIGN = 0x08080808
+
+
+def _decode_nibpair_words(w):
+    """int32 nibble-pair words (T, N) -> (lo, hi) int8 row groups (4T, N).
+
+    Low nibbles = dense rows [0, 4T) of the block, high = [4T, 8T) — the
+    same halves contract as :func:`_decode_halves_u8`. Decode is 9 int32
+    lane-ops per word of 8 weights (~1.1 ops/weight): two nibble extractions
+    plus a 3-op sign-extend each (0x08 sign bit -> 0xF0 fill via multiply;
+    per-byte products never carry). ``w >> 4`` is an arithmetic shift, but
+    the sign-fill only reaches bits 28-31, which the 0x0F0F0F0F mask drops."""
+    lo = w & _NIB_LO
+    hi = (w >> 4) & _NIB_LO
+    lo = lo | ((lo & _NIB_SIGN) * 0x1E)
+    hi = hi | ((hi & _NIB_SIGN) * 0x1E)
+    return _words_to_byte_rows(lo), _words_to_byte_rows(hi)
+
+
+def _nibpair_i8fs_kernel(x_ref, w_ref, ws_ref, b_ref, al_ref, o_ref,
+                         acc_ref, wsum_ref, *, tkb: int, tm: int,
+                         has_alpha: bool):
+    """Fused-split STACKED (serving M): f32 X tile in, int8 split + (a; r)
+    stack in registers, two half-block dots against the nibble groups."""
+    H = 4 * tkb
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    a, r = _int8_split_reg(x_ref[:])
+    ar = jnp.concatenate([a, r], axis=0)
+    lo, hi = _decode_nibpair_words(w_ref[0, 0])
+    acc_ref[:] += jnp.dot(ar[:, :H], lo, preferred_element_type=jnp.int32) \
+        + jnp.dot(ar[:, H:], hi, preferred_element_type=jnp.int32)
+    wsum_ref[:] += ws_ref[0, 0]
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        y = 8 * acc_ref[:tm, :] + acc_ref[tm:, :]
+        o_ref[:] = _i8_epilogue(y, wsum_ref[:], b_ref, al_ref, has_alpha)
+
+
+def _nibpair_i8s_kernel(ar_ref, w_ref, ws_ref, b_ref, al_ref, o_ref,
+                        acc_ref, wsum_ref, *, tkb: int, tm: int,
+                        has_alpha: bool):
+    """Pre-split stacked (a; r) variant (serving M, multi-N-tile): the fused
+    f32 operand would re-stream 2 B/element extra per N storage tile."""
+    H = 4 * tkb
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    lo, hi = _decode_nibpair_words(w_ref[0, 0])
+    acc_ref[:] += jnp.dot(ar_ref[:, :H], lo, preferred_element_type=jnp.int32) \
+        + jnp.dot(ar_ref[:, H:], hi, preferred_element_type=jnp.int32)
+    wsum_ref[:] += ws_ref[0, 0]
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        y = 8 * acc_ref[:tm, :] + acc_ref[tm:, :]
+        o_ref[:] = _i8_epilogue(y, wsum_ref[:], b_ref, al_ref, has_alpha)
+
+
+def _nibpair_i8u_kernel(a_ref, r_ref, w_ref, ws_ref, b_ref, al_ref, o_ref,
+                        acc_ref, wsum_ref, *, tkb: int, has_alpha: bool):
+    """Unstacked (large M): two int8 operands, four half-block dots."""
+    H = 4 * tkb
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    lo, hi = _decode_nibpair_words(w_ref[0, 0])
+    acc_ref[:] += 8 * (jnp.dot(a_ref[:, :H], lo, preferred_element_type=jnp.int32)
+                       + jnp.dot(a_ref[:, H:], hi, preferred_element_type=jnp.int32)) \
+        + jnp.dot(r_ref[:, :H], lo, preferred_element_type=jnp.int32) \
+        + jnp.dot(r_ref[:, H:], hi, preferred_element_type=jnp.int32)
+    wsum_ref[:] += ws_ref[0, 0]
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = _i8_epilogue(acc_ref[:], wsum_ref[:], b_ref, al_ref,
+                                has_alpha)
+
+
+@register_kernel(
+    "PallasTiledNibblePair_i8", TiledNibblePair,
+    description="signed-nibble words (4 bits/weight) -> mask + sign-extend "
+                "decode (~1.1 VPU ops/weight, half the bitplane deposit) at "
+                "2x the plane bytes; the round-3 verdict's untried "
+                "decode-vs-bytes trade, measured in kernel_v4_study.json",
+    reference="readme.md:108-111 roadmap codec; epilogue comp_prelu.h:12-70; "
+              "activation domain perf.cpp:301",
+    x_absmax=512, x_bytes=2.0)
+def pallas_tiled_nibblepair_i8_kernel(X, fmt: TiledNibblePair, bias,
+                                      alpha=None, *, tm: int = None,
+                                      tns: int = None):
+    """Same tiling/fusion rules as the 2-bit flagship
+    (:func:`pallas_tiled_bitplane_i8_kernel`): stacked fused-split at serving
+    M, unstacked two-operand dots above it."""
+    M = X.shape[0]
+    tkb, TN = fmt.tkb, fmt.tile_n
+    B = 8 * tkb
+    nb, gn = fmt.words.shape[0], fmt.words.shape[1]
+    TM, TNs, split, stacked = _bitplane_tiles(M, TN)
+    if tm is not None:
+        TM = tm
+    if tns is not None and TN % tns == 0:
+        TNs, split = tns, TN // tns
+    Mp = round_up(M, TM)
+    bp = _row_vec(bias, TN)[:, :gn * TN]
+    ap = _row_vec(alpha if alpha is not None else np.zeros(fmt.N, np.float32),
+                  TN)[:, :gn * TN]
+    words, wsum = jnp.asarray(fmt.words), jnp.asarray(fmt.wsum)
+    common = dict(wsum=wsum, TM=TM, TNs=TNs, split=split, Mp=Mp,
+                  plane_rows=tkb)
+    if stacked and gn == 1:
+        xf = jnp.pad(jnp.asarray(X, jnp.float32),
+                     ((0, Mp - M), (0, nb * B - X.shape[1])))
+        out = _bitplane_call(
+            functools.partial(_nibpair_i8fs_kernel, tkb=tkb, tm=TM,
+                              has_alpha=alpha is not None),
+            (xf,), (TM,), fmt, words, bp, ap,
+            scratch_shapes=[pltpu.VMEM((2 * TM, TNs), jnp.int32),
+                            pltpu.VMEM((1, TNs), jnp.int32)], **common)
+        return out[:M, :fmt.N]
+    a8, r8 = _int8_split(X)
+    a8 = jnp.pad(a8, ((0, Mp - M), (0, nb * B - X.shape[1])))
+    r8 = jnp.pad(r8, ((0, Mp - M), (0, nb * B - X.shape[1])))
+    if stacked:
+        out = _bitplane_call(
+            functools.partial(_nibpair_i8s_kernel, tkb=tkb, tm=TM,
+                              has_alpha=alpha is not None),
+            (_stack_tiles(a8, r8, TM),), (2 * TM,), fmt, words, bp, ap,
+            scratch_shapes=[pltpu.VMEM((2 * TM, TNs), jnp.int32),
+                            pltpu.VMEM((1, TNs), jnp.int32)], **common)
+    else:
+        out = _bitplane_call(
+            functools.partial(_nibpair_i8u_kernel, tkb=tkb,
+                              has_alpha=alpha is not None),
+            (a8, r8), (TM, TM), fmt, words, bp, ap,
             scratch_shapes=[pltpu.VMEM((TM, TNs), jnp.int32),
                             pltpu.VMEM((1, TNs), jnp.int32)], **common)
     return out[:M, :fmt.N]

@@ -24,6 +24,7 @@ from ternary_spgemm_tpu.formats import (
     PackedTernary53,
     TiledBitplane,
     TiledBlockPacked,
+    TiledNibblePair,
     TiledDenseTernary,
     TiledEllDeposit,
     TiledEllTCSC,
@@ -36,7 +37,7 @@ from ternary_spgemm_tpu.formats import (
 SIMPLE_FORMATS = [TCSC, TCSR, InterleavedTCSC, PackedCSC,
                   PackedTernary2Bit, PackedTernary53, BlockPackedTernary,
                   TiledDenseTernary, TiledBlockPacked,
-                  EllTCSC, BlockedEllTCSC, TiledEllTCSC, TiledBitplane,
+                  EllTCSC, BlockedEllTCSC, TiledEllTCSC, TiledBitplane, TiledNibblePair,
                   TiledEllDeposit, DenseTernary]
 BLOCKED_FORMATS = [BlockedTCSC, InterleavedBlockedTCSC]
 
