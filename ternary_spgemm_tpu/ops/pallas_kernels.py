@@ -1035,11 +1035,19 @@ def _sub_tile_n(TN: int, cap: int = 2048) -> int:
     return best * 128 if best else TN
 
 
-def _bitplane_tiles(M: int, TN: int):
-    """v4 tile rule (measured, docs/perf.md §14) -> (TM, TNs, split, stacked).
+def _bitplane_tiles(M: int, TN: int, steps: int = None):
+    """v4 tile rule (measured, docs/perf.md §14-15) -> (TM, TNs, split, stacked).
 
     Serving M (<= 128 rows padded): one stacked (a; r) M-tile over full-width
-    tiles. Larger M: unstacked dots with TM = 512 and full-width (up to 4096
+    tiles — EXCEPT when the whole call would be a single grid step
+    (``steps`` = nb*gn == 1, e.g. the north-star 32x1024x4096): one step
+    gives Mosaic nothing to pipeline, so the plane DMA, VPU decode and MXU
+    dot serialize. Splitting N into two compute tiles measured 4.88 us vs
+    5.28 at the north star (kernel_v4_study.json nssplit/*; K-splits and
+    4-way N-splits are slower — two steps is the sweet spot: one DMA window
+    hidden, minimal per-step overhead).
+
+    Larger M: unstacked dots with TM = 512 and full-width (up to 4096
     lane) compute tiles — the v3 TM=256/TNs=2048 caps existed only to fit the
     compiler's default 16 MiB scoped-VMEM limit; with the cap raised
     (``_bitplane_call``) the taller/wider tiles halve both the number of
@@ -1050,6 +1058,8 @@ def _bitplane_tiles(M: int, TN: int):
     (see :func:`_sub_tile_n`)."""
     Mr = round_up(M, 32)
     if Mr <= 128:
+        if steps == 1 and TN >= 2048 and (TN // 2) % 128 == 0:
+            return Mr, TN // 2, 2, True
         return Mr, TN, 1, True
     TNs = _sub_tile_n(TN, cap=4096)
     return min(Mr, 512), TNs, TN // TNs, False
@@ -1232,7 +1242,7 @@ def pallas_tiled_bitplane_i8_kernel(X, fmt: TiledBitplane, bias, alpha=None,
     tkb, TN = fmt.tkb, fmt.tile_n
     B = 8 * tkb
     nb, gn = fmt.plane.shape[0], fmt.plane.shape[1]
-    TM, TNs, split, stacked_rule = _bitplane_tiles(M, TN)
+    TM, TNs, split, stacked_rule = _bitplane_tiles(M, TN, nb * gn)
     if stacked is None:
         stacked = stacked_rule
     if fuse_split is None:
@@ -1409,7 +1419,7 @@ def pallas_tiled_nibblepair_i8_kernel(X, fmt: TiledNibblePair, bias,
     tkb, TN = fmt.tkb, fmt.tile_n
     B = 8 * tkb
     nb, gn = fmt.words.shape[0], fmt.words.shape[1]
-    TM, TNs, split, stacked = _bitplane_tiles(M, TN)
+    TM, TNs, split, stacked = _bitplane_tiles(M, TN, nb * gn)
     if tm is not None:
         TM = tm
     if tns is not None and TN % tns == 0:
@@ -1490,7 +1500,7 @@ def pallas_tiled_bitplane_x8_kernel(X, fmt: TiledBitplane, bias, alpha=None):
     tkb, TN = fmt.tkb, fmt.tile_n
     B = 8 * tkb
     nb, gn = fmt.plane.shape[0], fmt.plane.shape[1]
-    TM, TNs, split, _ = _bitplane_tiles(M, TN)    # x8 never stacks
+    TM, TNs, split, _ = _bitplane_tiles(M, TN, nb * gn)  # x8 never stacks
     Mp = round_up(M, TM)
     x8 = jnp.pad(_to_x8(X), ((0, Mp - M), (0, nb * B - X.shape[1])))
     bp = _row_vec(bias, TN)[:, :gn * TN]
@@ -1540,7 +1550,7 @@ def pallas_tiled_bitplane_bf16_kernel(X, fmt: TiledBitplane, bias, alpha=None):
     tkb, TN = fmt.tkb, fmt.tile_n
     B = 8 * tkb
     nb, gn = fmt.plane.shape[0], fmt.plane.shape[1]
-    TM, TNs, split, _ = _bitplane_tiles(M, TN)    # bf16 never stacks
+    TM, TNs, split, _ = _bitplane_tiles(M, TN, nb * gn)  # bf16 never stacks
     Mp = round_up(M, TM)
     xb = jnp.pad(jnp.asarray(X, jnp.bfloat16),
                  ((0, Mp - M), (0, nb * B - X.shape[1])))
