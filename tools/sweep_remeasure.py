@@ -125,6 +125,12 @@ def main(argv=None) -> int:
                         "for re-measuring a kernel whose implementation "
                         "changed")
     p.add_argument("--correctness-limit", type=int, default=1 << 24)
+    p.add_argument("--kn", default=None,
+                   help="comma-separated KxN pairs; only records matching "
+                        "one are touched (scoped regates after a kernel "
+                        "rule change that affects few shapes)")
+    p.add_argument("--m-values", type=int, nargs="*", default=None,
+                   help="only records with M in this set are touched")
     p.add_argument("--exact-corners", action="store_true",
                    help="target records whose kernel entry carries an "
                         "'extrapolated_from_M' flag and replace it with a "
@@ -147,8 +153,17 @@ def main(argv=None) -> int:
     with open(args.artifact) as f:
         records = json.load(f)
 
+    kn_allow = None
+    if args.kn:
+        kn_allow = {tuple(map(int, p.split("x"))) for p in args.kn.split(",")}
+
     todo = []
     for rec in records:
+        tc = rec["test_case"]
+        if kn_allow is not None and (tc["K"], tc["N"]) not in kn_allow:
+            continue
+        if args.m_values is not None and tc["M"] not in args.m_values:
+            continue
         res = rec.get("results", {})
         if args.exact_corners:
             present = [k for k in targets
