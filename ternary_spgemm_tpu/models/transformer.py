@@ -296,17 +296,37 @@ class ExportedTransformerBlock:
     ternary projections."""
 
     def __init__(self, cfg: BitTransformerConfig, linears: dict,
-                 norm_attn, norm_ffn, moe=None):
+                 norm_attn, norm_ffn, moe=None, fused_ffn: bool = False,
+                 _ffn_biasless: Optional[bool] = None):
         self.cfg = cfg
         self.linears = dict(linears)
         self.norm_attn = jnp.asarray(norm_attn, jnp.float32)
         self.norm_ffn = jnp.asarray(norm_ffn, jnp.float32)
         self.moe = moe  # ExportedMoE for MoE-FFN configs, else None
+        self.fused_ffn = bool(fused_ffn)
+        if _ffn_biasless is None:
+            # Decided HERE, on concrete arrays (under jit the block rides as
+            # a pytree argument, so __call__ only sees tracers and could not
+            # branch on bias values); carried through flatten/unflatten.
+            _ffn_biasless = self._check_ffn_biasless()
+        self._ffn_biasless = _ffn_biasless
+
+    def _check_ffn_biasless(self) -> bool:
+        import numpy as np
+        for n in ("w_gate", "w_up", "w_down"):
+            lin = self.linears.get(n)
+            if lin is None:
+                return False
+            if isinstance(lin.bias, jax.core.Tracer) or np.any(
+                    np.asarray(lin.bias)):
+                return False
+        return True
 
     @classmethod
     def from_params(cls, cfg: BitTransformerConfig, params: dict,
                     format_cls: Type[TernaryFormat], *,
-                    kernel: Optional[str] = None, **fmt_kwargs):
+                    kernel: Optional[str] = None, fused_ffn: bool = False,
+                    **fmt_kwargs):
         moe = None
         if cfg.moe_experts:
             from ternary_spgemm_tpu.models.moe import BitMoEConfig, ExportedMoE
@@ -323,7 +343,42 @@ class ExportedTransformerBlock:
             n: ExportedBitLinear.from_params(params[n], format_cls,
                                              kernel=kernel, **fmt_kwargs)
             for n in names}
-        return cls(cfg, linears, params["norm_attn"], params["norm_ffn"], moe)
+        return cls(cfg, linears, params["norm_attn"], params["norm_ffn"], moe,
+                   fused_ffn=fused_ffn)
+
+    def _fused_ffn_applicable(self, rows: int) -> bool:
+        """The fused SwiGLU block kernel's contract (``ops/fused_ffn.py``):
+        serving batch, single-N-tile TiledBitplane containers, biasless
+        projections (decided at construction on concrete arrays)."""
+        from ternary_spgemm_tpu.formats import TiledBitplane
+
+        if self.moe is not None or rows > 128 or not self._ffn_biasless:
+            return False
+        for n in ("w_gate", "w_up", "w_down"):
+            lin = self.linears.get(n)
+            if lin is None or not isinstance(lin.fmt, TiledBitplane):
+                return False
+            if lin.fmt.plane.shape[1] != 1:      # gn != 1
+                return False
+        return True
+
+    def _ffn(self, h):
+        """SwiGLU FFN over flattened rows. With ``fused_ffn`` and the block
+        kernel's contract met, the whole FFN runs as ONE Pallas call in the
+        deployed W1.58-A8 regime (per-row int8 activation quantization —
+        the approximation every A8 serving path already makes,
+        docs/perf.md §11); otherwise three registry SpMM calls."""
+        if self.fused_ffn and self._fused_ffn_applicable(h.shape[0]):
+            from ternary_spgemm_tpu.ops.fused_ffn import (
+                fused_bitplane_swiglu, requantize_rows)
+
+            g, u, dn = (self.linears[n] for n in ("w_gate", "w_up", "w_down"))
+            hq, sx = requantize_rows(h)
+            return fused_bitplane_swiglu(
+                hq, sx, g.fmt, u.fmt, dn.fmt, gamma_gate=g.gamma,
+                gamma_up=u.gamma, gamma_down=dn.gamma)
+        return self.linears["w_down"](
+            jax.nn.silu(self.linears["w_gate"](h)) * self.linears["w_up"](h))
 
     def __call__(self, x):
         B, T, d = x.shape
@@ -337,12 +392,14 @@ class ExportedTransformerBlock:
         if self.moe is not None:
             ffn = self.moe(h)
         else:
-            ffn = flat("w_down",
-                       jax.nn.silu(flat("w_gate", h)) * flat("w_up", h))
+            ffn = self._ffn(h.reshape(B * T, d)).reshape(B, T, d)
         return x + ffn
 
 
 jax.tree_util.register_pytree_node(
     ExportedTransformerBlock,
-    lambda b: ((b.linears, b.norm_attn, b.norm_ffn, b.moe), b.cfg),
-    lambda cfg, ch: ExportedTransformerBlock(cfg, ch[0], ch[1], ch[2], ch[3]))
+    lambda b: ((b.linears, b.norm_attn, b.norm_ffn, b.moe),
+               (b.cfg, b.fused_ffn, b._ffn_biasless)),
+    lambda aux, ch: ExportedTransformerBlock(aux[0], ch[0], ch[1], ch[2],
+                                             ch[3], fused_ffn=aux[1],
+                                             _ffn_biasless=aux[2]))

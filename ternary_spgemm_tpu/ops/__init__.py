@@ -17,8 +17,14 @@ from ternary_spgemm_tpu.ops.api import (
 )
 from ternary_spgemm_tpu.ops import xla_kernels  # noqa: F401  (registers kernels)
 from ternary_spgemm_tpu.ops import pallas_kernels  # noqa: F401  (registers kernels)
+from ternary_spgemm_tpu.ops.fused_ffn import (
+    fused_bitplane_ffn,
+    fused_bitplane_swiglu,
+    requantize_rows,
+)
 
 __all__ = [
     "KernelSpec", "all_kernels", "get_kernel", "kernels_for_format",
     "register_kernel", "ternary_spgemm", "autotune",
+    "fused_bitplane_ffn", "fused_bitplane_swiglu", "requantize_rows",
 ]
