@@ -162,8 +162,13 @@ class ExportedMLP:
                    for p in params)
 
     def __call__(self, x):
-        for layer in self.layers:
-            x = layer(x)
+        from ternary_spgemm_tpu.ops import stack_mode
+
+        # multi-layer program: trace with the measured in-stack tile rule
+        # (full-width serving tiles — docs/perf.md §16)
+        with stack_mode(len(self.layers) > 1):
+            for layer in self.layers:
+                x = layer(x)
         return x
 
 

@@ -358,9 +358,9 @@ class ExportedTransformerBlock:
             lin = self.linears.get(n)
             if lin is None or not isinstance(lin.fmt, TiledBitplane):
                 return False
-            if lin.fmt.plane.shape[1] != 1:      # gn != 1
-                return False
-        return True
+        # the OUTPUT projection must fit one storage tile (the hidden width
+        # may span several — the kernel keeps per-tile accumulators)
+        return self.linears["w_down"].fmt.plane.shape[1] == 1
 
     def _ffn(self, h):
         """SwiGLU FFN over flattened rows. With ``fused_ffn`` and the block
@@ -381,18 +381,24 @@ class ExportedTransformerBlock:
             jax.nn.silu(self.linears["w_gate"](h)) * self.linears["w_up"](h))
 
     def __call__(self, x):
+        from ternary_spgemm_tpu.ops import stack_mode
+
         B, T, d = x.shape
         flat = lambda n, z: self.linears[n](z.reshape(B * T, -1)).reshape(
             B, T, -1)
         attend = lambda q, k, v: causal_attend(self.cfg.n_heads, q, k, v)
-        h = rms_norm(x, self.norm_attn)
-        attn = flat("wo", attend(flat("wq", h), flat("wk", h), flat("wv", h)))
-        x = x + attn
-        h = rms_norm(x, self.norm_ffn)
-        if self.moe is not None:
-            ffn = self.moe(h)
-        else:
-            ffn = self._ffn(h.reshape(B * T, d)).reshape(B, T, d)
+        # a block is a multi-kernel program: trace with the measured
+        # in-stack tile rule (docs/perf.md §16)
+        with stack_mode():
+            h = rms_norm(x, self.norm_attn)
+            attn = flat("wo", attend(flat("wq", h), flat("wk", h),
+                                     flat("wv", h)))
+            x = x + attn
+            h = rms_norm(x, self.norm_ffn)
+            if self.moe is not None:
+                ffn = self.moe(h)
+            else:
+                ffn = self._ffn(h.reshape(B * T, d)).reshape(B, T, d)
         return x + ffn
 
 

@@ -22,9 +22,11 @@ from ternary_spgemm_tpu.ops.fused_ffn import (
     fused_bitplane_swiglu,
     requantize_rows,
 )
+from ternary_spgemm_tpu.ops.pallas_kernels import stack_mode
 
 __all__ = [
     "KernelSpec", "all_kernels", "get_kernel", "kernels_for_format",
     "register_kernel", "ternary_spgemm", "autotune",
     "fused_bitplane_ffn", "fused_bitplane_swiglu", "requantize_rows",
+    "stack_mode",
 ]

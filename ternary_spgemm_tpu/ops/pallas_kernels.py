@@ -1035,6 +1035,39 @@ def _sub_tile_n(TN: int, cap: int = 2048) -> int:
     return best * 128 if best else TN
 
 
+#: When True, `_bitplane_tiles` keeps FULL-WIDTH compute tiles at serving M
+#: even for single-grid-step calls: inside a multi-layer jitted program,
+#: neighboring pallas calls already prefetch across the call boundary, so
+#: the §15 isolated-call N-split rule INVERTS — full width measured 30.6 vs
+#: 31.4 us at L=8 and 2.65 vs 3.26 us/layer deep-stack marginal
+#: (docs/perf.md §16, chain_amortized.json). Set via :func:`stack_mode`
+#: around model-serving traces; a TRACE-time flag (baked into the compiled
+#: program), not a runtime switch.
+_STACK_MODE = False
+
+
+class stack_mode:
+    """Context manager: trace bitplane kernels with the measured IN-STACK
+    tile rule (full-width serving tiles — docs/perf.md §16). Used by the
+    exported model stacks (``models/exported.py``, ``models/generate.py``)
+    around their layer loops; the isolated-call default stays the §15
+    2-step split, which wins for a lone dispatch."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _STACK_MODE
+        self._saved = _STACK_MODE
+        _STACK_MODE = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _STACK_MODE
+        _STACK_MODE = self._saved
+        return False
+
+
 def _bitplane_tiles(M: int, TN: int, steps: int = None):
     """v4 tile rule (measured, docs/perf.md §14-15) -> (TM, TNs, split, stacked).
 
@@ -1045,7 +1078,9 @@ def _bitplane_tiles(M: int, TN: int, steps: int = None):
     dot serialize. Splitting N into two compute tiles measured 4.88 us vs
     5.28 at the north star (kernel_v4_study.json nssplit/*; K-splits and
     4-way N-splits are slower — two steps is the sweet spot: one DMA window
-    hidden, minimal per-step overhead).
+    hidden, minimal per-step overhead). Inside :class:`stack_mode` the split
+    is SKIPPED: neighboring calls in a multi-layer program already hide the
+    DMA window the split existed to create (docs/perf.md §16).
 
     Larger M: unstacked dots with TM = 512 and full-width (up to 4096
     lane) compute tiles — the v3 TM=256/TNs=2048 caps existed only to fit the
@@ -1058,7 +1093,8 @@ def _bitplane_tiles(M: int, TN: int, steps: int = None):
     (see :func:`_sub_tile_n`)."""
     Mr = round_up(M, 32)
     if Mr <= 128:
-        if steps == 1 and TN >= 2048 and (TN // 2) % 128 == 0:
+        if steps == 1 and TN >= 2048 and (TN // 2) % 128 == 0 \
+                and not _STACK_MODE:
             return Mr, TN // 2, 2, True
         return Mr, TN, 1, True
     TNs = _sub_tile_n(TN, cap=4096)

@@ -83,11 +83,21 @@ def test_serving_m_contract():
         fused_bitplane_ffn(**kw)
 
 
-def test_single_tile_contract():
+def test_multi_tile_hidden():
+    # hidden width spanning gn1=2 storage tiles (the BitNet-3B/7B ff>4096
+    # regime scaled down): per-tile accumulators + dynamic leading index
     kw = _block(8, 128, 256, 128)
     kw["fmt1"] = TiledBitplane.from_dense(
-        generate_ternary(128, 256, 4, seed=0), tile_n=128)  # gn=2
-    with pytest.raises(ValueError, match="single-N-tile"):
+        generate_ternary(128, 256, 4, seed=0), tile_n=128)  # gn1=2
+    assert kw["fmt1"].plane.shape[1] == 2
+    _check(kw)
+
+
+def test_single_tile_output_contract():
+    kw = _block(8, 128, 256, 128)
+    kw["fmt2"] = TiledBitplane.from_dense(
+        generate_ternary(256, 128, 4, seed=1), tile_n=64)   # gn2=2
+    with pytest.raises(ValueError, match="OUTPUT"):
         fused_bitplane_ffn(**kw)
 
 
@@ -146,6 +156,16 @@ def test_swiglu_shape_contracts():
     kw["fmt_up"] = TiledBitplane.from_dense(generate_ternary(128, 384, 4, seed=3))
     with pytest.raises(ValueError, match="share"):
         fused_bitplane_swiglu(**kw)
+
+
+def test_swiglu_multi_tile_hidden():
+    kw = _swiglu_block(8, 128, 256, 128)
+    kw["fmt_gate"] = TiledBitplane.from_dense(
+        generate_ternary(128, 256, 4, seed=0), tile_n=128)  # gn1=2
+    kw["fmt_up"] = TiledBitplane.from_dense(
+        generate_ternary(128, 256, 4, seed=1), tile_n=128)
+    assert kw["fmt_gate"].plane.shape[1] == 2
+    _check_swiglu(kw)
 
 
 # ---------------------------------------------------------------------------

@@ -224,3 +224,26 @@ def test_bitplane_family_unstacked_large_m(M_big):
         wk = np.where(wk > 0, wk, np.asarray(a)[None, :] * wk)
         got = np.asarray(reg[name].fn(Xk, fmt, b, a))
         np.testing.assert_allclose(got, wk, atol=1e-5, err_msg=name)
+
+
+def test_stack_mode_tile_rule(problem):
+    """stack_mode() flips the serving-M single-step N-split OFF at trace
+    time (the measured in-stack rule, docs/perf.md §16) and restores the
+    isolated-call rule on exit — and the kernel stays correct either way."""
+    from ternary_spgemm_tpu.ops import stack_mode, ternary_spgemm
+    from ternary_spgemm_tpu.ops.pallas_kernels import _bitplane_tiles
+
+    assert _bitplane_tiles(32, 4096, 1)[:3] == (32, 2048, 2)
+    with stack_mode():
+        assert _bitplane_tiles(32, 4096, 1)[:3] == (32, 4096, 1)
+        with stack_mode(False):
+            assert _bitplane_tiles(32, 4096, 1)[:3] == (32, 2048, 2)
+        assert _bitplane_tiles(32, 4096, 1)[:3] == (32, 4096, 1)
+    assert _bitplane_tiles(32, 4096, 1)[:3] == (32, 2048, 2)
+
+    W, X, b, alpha, want, _ = problem
+    fmt = _build(TiledBitplane, W)
+    with stack_mode():
+        got = np.asarray(ternary_spgemm(
+            X, fmt, b, kernel="PallasTiledBitplane_i8"))
+    assert np.abs(got - want).max() <= 1e-5

@@ -102,7 +102,9 @@ def main():
         out["blocks"].append(row)
 
     # ---- SwiGLU FFN (the transformer block): d -> ff (x2) -> d ------------
-    for (d, ff) in [(1024, 4096), (2048, 4096)]:
+    # last two rows are the real BitNet-b1.58 3B/7B FFN shapes: the hidden
+    # width spans gn1 = 3 storage tiles (the multi-tile accumulator path)
+    for (d, ff) in [(1024, 4096), (2048, 4096), (3200, 8640), (4096, 11008)]:
         fg = dev(TiledBitplane.from_dense(gen_w(d, ff, s, seed=21)))
         fu = dev(TiledBitplane.from_dense(gen_w(d, ff, s, seed=22)))
         fd = dev(TiledBitplane.from_dense(gen_w(ff, d, s, seed=23)))
