@@ -256,11 +256,13 @@ class ExportedTransformerLM:
     @classmethod
     def from_params(cls, model: BitTransformerLM, params: dict,
                     format_cls: Type[TernaryFormat], *,
-                    kernel: Optional[str] = None, **fmt_kwargs):
+                    kernel: Optional[str] = None, fused_ffn: bool = False,
+                    fused_qkv: bool = False, **fmt_kwargs):
         from ternary_spgemm_tpu.models.transformer import (
             ExportedTransformerBlock)
         blocks = [ExportedTransformerBlock.from_params(
-            model.cfg, p, format_cls, kernel=kernel, **fmt_kwargs)
+            model.cfg, p, format_cls, kernel=kernel, fused_ffn=fused_ffn,
+            fused_qkv=fused_qkv, **fmt_kwargs)
             for p in params["blocks"]]
         return cls(model.cfg, blocks, params["embed"], params["norm_out"])
 

@@ -297,13 +297,18 @@ class ExportedTransformerBlock:
 
     def __init__(self, cfg: BitTransformerConfig, linears: dict,
                  norm_attn, norm_ffn, moe=None, fused_ffn: bool = False,
-                 _ffn_biasless: Optional[bool] = None):
+                 _ffn_biasless: Optional[bool] = None, qkv=None,
+                 kernel: Optional[str] = None):
         self.cfg = cfg
         self.linears = dict(linears)
         self.norm_attn = jnp.asarray(norm_attn, jnp.float32)
         self.norm_ffn = jnp.asarray(norm_ffn, jnp.float32)
         self.moe = moe  # ExportedMoE for MoE-FFN configs, else None
         self.fused_ffn = bool(fused_ffn)
+        #: merged-QKV fast path: {"fmt": container over hstack(Wq,Wk,Wv),
+        #: "scale": (3d,) per-segment gammas, "bias": (3d,)} or None
+        self.qkv = qkv
+        self.kernel = kernel
         if _ffn_biasless is None:
             # Decided HERE, on concrete arrays (under jit the block rides as
             # a pytree argument, so __call__ only sees tracers and could not
@@ -326,7 +331,7 @@ class ExportedTransformerBlock:
     def from_params(cls, cfg: BitTransformerConfig, params: dict,
                     format_cls: Type[TernaryFormat], *,
                     kernel: Optional[str] = None, fused_ffn: bool = False,
-                    **fmt_kwargs):
+                    fused_qkv: bool = False, **fmt_kwargs):
         moe = None
         if cfg.moe_experts:
             from ternary_spgemm_tpu.models.moe import BitMoEConfig, ExportedMoE
@@ -343,8 +348,34 @@ class ExportedTransformerBlock:
             n: ExportedBitLinear.from_params(params[n], format_cls,
                                              kernel=kernel, **fmt_kwargs)
             for n in names}
+        qkv = None
+        if fused_qkv:
+            qkv = cls._build_fused_qkv(params, format_cls, **fmt_kwargs)
         return cls(cfg, linears, params["norm_attn"], params["norm_ffn"], moe,
-                   fused_ffn=fused_ffn)
+                   fused_ffn=fused_ffn, qkv=qkv, kernel=kernel)
+
+    @staticmethod
+    def _build_fused_qkv(params: dict, format_cls, **fmt_kwargs):
+        """Merge the q/k/v projections into ONE ternary container over
+        ``hstack(Wq, Wk, Wv)`` (d, 3d): one SpMM per attention input instead
+        of three, sharing the activation read. The per-tensor absmean
+        gammas become a per-SEGMENT output scale (exact — gamma multiplies
+        columns); biases concatenate. Serving-only fast path (like the
+        fused FFN, it bypasses the custom-VJP layers)."""
+        import numpy as np
+        from ternary_spgemm_tpu.models.bitlinear import ternary_quantize
+
+        Ws, scales, biases = [], [], []
+        for n in ("wq", "wk", "wv"):
+            Wq, g = ternary_quantize(params[n]["w"])
+            Wq = np.asarray(Wq, np.int8)
+            Ws.append(Wq)
+            scales.append(np.full(Wq.shape[1], float(g), np.float32))
+            biases.append(np.asarray(params[n]["b"], np.float32))
+        fmt = format_cls.from_dense(np.concatenate(Ws, axis=1), **fmt_kwargs)
+        return {"fmt": jax.tree_util.tree_map(jnp.asarray, fmt),
+                "scale": jnp.asarray(np.concatenate(scales)),
+                "bias": jnp.asarray(np.concatenate(biases))}
 
     def _fused_ffn_applicable(self, rows: int) -> bool:
         """The fused SwiGLU block kernel's contract (``ops/fused_ffn.py``):
@@ -380,6 +411,21 @@ class ExportedTransformerBlock:
         return self.linears["w_down"](
             jax.nn.silu(self.linears["w_gate"](h)) * self.linears["w_up"](h))
 
+    def _qkv(self, h):
+        """(rows, d) -> q, k, v, each (rows, d). With the merged container
+        (``fused_qkv=True``): ONE SpMM over (d, 3d) + per-segment scale."""
+        if self.qkv is not None:
+            from ternary_spgemm_tpu.ops import ternary_spgemm
+
+            d = self.cfg.d_model
+            z = jnp.zeros((3 * d,), jnp.float32)
+            out = ternary_spgemm(h, self.qkv["fmt"], z, None,
+                                 kernel=self.kernel)
+            out = out * self.qkv["scale"][None, :] + self.qkv["bias"][None, :]
+            return out[:, :d], out[:, d:2 * d], out[:, 2 * d:]
+        return (self.linears["wq"](h), self.linears["wk"](h),
+                self.linears["wv"](h))
+
     def __call__(self, x):
         from ternary_spgemm_tpu.ops import stack_mode
 
@@ -391,8 +437,9 @@ class ExportedTransformerBlock:
         # in-stack tile rule (docs/perf.md §16)
         with stack_mode():
             h = rms_norm(x, self.norm_attn)
-            attn = flat("wo", attend(flat("wq", h), flat("wk", h),
-                                     flat("wv", h)))
+            q, kk, v = (z.reshape(B, T, d)
+                        for z in self._qkv(h.reshape(B * T, d)))
+            attn = flat("wo", attend(q, kk, v))
             x = x + attn
             h = rms_norm(x, self.norm_ffn)
             if self.moe is not None:
@@ -404,8 +451,9 @@ class ExportedTransformerBlock:
 
 jax.tree_util.register_pytree_node(
     ExportedTransformerBlock,
-    lambda b: ((b.linears, b.norm_attn, b.norm_ffn, b.moe),
-               (b.cfg, b.fused_ffn, b._ffn_biasless)),
+    lambda b: ((b.linears, b.norm_attn, b.norm_ffn, b.moe, b.qkv),
+               (b.cfg, b.fused_ffn, b._ffn_biasless, b.kernel)),
     lambda aux, ch: ExportedTransformerBlock(aux[0], ch[0], ch[1], ch[2],
                                              ch[3], fused_ffn=aux[1],
-                                             _ffn_biasless=aux[2]))
+                                             _ffn_biasless=aux[2],
+                                             qkv=ch[4], kernel=aux[3]))

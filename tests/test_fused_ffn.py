@@ -205,6 +205,33 @@ def test_exported_block_fused_ffn():
     assert y.shape == x.shape and bool(jnp.all(jnp.isfinite(y)))
 
 
+def test_exported_block_fused_qkv():
+    """fused_qkv=True merges q/k/v into one container; the block output
+    must match the unfused block (same kernel, same quantized weights —
+    only fp association of the gamma/bias fold differs)."""
+    import jax
+    import jax.numpy as jnp
+    from ternary_spgemm_tpu.models import (
+        BitTransformerBlock, BitTransformerConfig, ExportedTransformerBlock)
+
+    cfg = BitTransformerConfig(vocab=64, d_model=128, n_heads=2, d_ff=256,
+                               n_layers=1)
+    params = BitTransformerBlock(cfg).init(jax.random.key(0))
+    params["wk"]["b"] = params["wk"]["b"] + 0.25   # exercise the bias fold
+    blk_u = ExportedTransformerBlock.from_params(cfg, params, TiledBitplane,
+                                                 kernel=KERNEL)
+    blk_f = ExportedTransformerBlock.from_params(cfg, params, TiledBitplane,
+                                                 kernel=KERNEL,
+                                                 fused_qkv=True)
+    assert blk_f.qkv is not None
+    assert blk_f.qkv["fmt"].N == 3 * cfg.d_model
+    x = jnp.asarray(generate_x(4, cfg.d_model, seed=9)
+                    ).reshape(1, 4, -1) / 300.0
+    yu = np.asarray(jax.jit(lambda b, z: b(z))(blk_u, x))
+    yf = np.asarray(jax.jit(lambda b, z: b(z))(blk_f, x))
+    np.testing.assert_allclose(yf, yu, rtol=1e-5, atol=1e-4)
+
+
 def test_exported_block_fused_ffn_bias_falls_back():
     import jax
     from ternary_spgemm_tpu.models import (

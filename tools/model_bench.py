@@ -181,6 +181,26 @@ def main(argv=None) -> int:
                 results["results"][f"exported/{fixed_name}_decode"] = {
                     "error": f"{type(e).__name__}: {e}"}
 
+        # decode-shaped block with the fused serving fast paths: SwiGLU FFN
+        # as ONE pallas_call (docs/perf.md §16) + merged-QKV container
+        # (one SpMM over hstack(Wq,Wk,Wv)) — TiledBitplane only
+        if fixed_name:
+            try:
+                exported_ff = ExportedTransformerBlock.from_params(
+                    cfg, params, fmt_cls, kernel=fixed_name, fused_ffn=True,
+                    fused_qkv=True)
+                if not exported_ff._fused_ffn_applicable(B):
+                    raise RuntimeError("fused-FFN contract not met for "
+                                       "this preset/format")
+                t = time_device_loop(lambda q, blk: blk(q), x[:, :1, :],
+                                     aux=(exported_ff,),
+                                     min_seconds=args.min_seconds)
+                record("exported/fused_block_decode", t.seconds, ntok=B)
+            except Exception as e:
+                results["results"]["exported/fused_block_decode"] = {
+                    "error": f"{type(e).__name__}: {e}"}
+                print(f"exported/fused_block_decode FAILED: {e}", flush=True)
+
     if "a8" in regimes:
         # serving path: every projection through apply_exported_a8
         from ternary_spgemm_tpu.models import apply_exported_a8, export_layer
