@@ -25,11 +25,12 @@ from ternary_spgemm_tpu.parallel.spgemm import (
     overlapped_gather_spgemm,
     row_sharded_spgemm,
 )
+from ternary_spgemm_tpu.parallel.ffn import tensor_parallel_fused_swiglu
 
 __all__ = [
     "SHARDABLE_FORMATS", "make_mesh", "shard_container", "spec_tree",
     "column_leaf_specs", "row_leaf_specs", "localize",
     "column_sharded_spgemm", "row_sharded_spgemm", "overlapped_gather_spgemm",
-    "ring_allgather_spgemm",
+    "ring_allgather_spgemm", "tensor_parallel_fused_swiglu",
     "pipeline_apply", "pipeline_lm_apply", "stack_stages",
 ]
