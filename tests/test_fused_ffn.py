@@ -67,6 +67,17 @@ def test_hidden_width_not_block_multiple():
     _check(_block(8, 128, 1152, 128))
 
 
+@pytest.mark.parametrize("shape", [
+    (1, 100, 256, 128),     # M=1, K not a multiple of 128
+    (8, 128, 130, 128),     # hidden width barely over one lane tile
+    (33, 96, 384, 96),      # odd M, sub-tile output width
+])
+def test_hostile_shapes(shape):
+    M, K, N1, N2 = shape
+    _check(_block(M, K, N1, N2))
+    _check_swiglu(_swiglu_block(M, K, N1, N2))
+
+
 def test_multi_block_phase1():
     # tkb=16 -> B1=128, so K=384 gives nb1=3 phase-1 K-blocks
     kw = _block(8, 384, 256, 128)
