@@ -117,7 +117,8 @@ def _fmt_restore(header: dict, prefix: str, data) -> TernaryFormat:
 
 def _linear_record(lin, prefix: str, arrays: dict) -> dict:
     hdr = {"fmt": _fmt_record(lin.fmt, f"{prefix}.fmt", arrays),
-           "fmt_t": _fmt_record(lin.fmt_t, f"{prefix}.fmt_t", arrays),
+           "fmt_t": (None if lin.fmt_t is None else
+                     _fmt_record(lin.fmt_t, f"{prefix}.fmt_t", arrays)),
            "gamma": float(lin.gamma), "kernel": lin.kernel,
            "has_alpha": lin.alpha is not None}
     arrays[f"{prefix}.bias"] = np.asarray(lin.bias)
@@ -130,7 +131,8 @@ def _linear_restore(hdr: dict, prefix: str, data):
     from ternary_spgemm_tpu.models.exported import ExportedBitLinear
     return ExportedBitLinear(
         _fmt_restore(hdr["fmt"], f"{prefix}.fmt", data),
-        _fmt_restore(hdr["fmt_t"], f"{prefix}.fmt_t", data),
+        (None if hdr["fmt_t"] is None else
+         _fmt_restore(hdr["fmt_t"], f"{prefix}.fmt_t", data)),
         hdr["gamma"], data[f"{prefix}.bias"],
         data[f"{prefix}.alpha"] if hdr["has_alpha"] else None,
         kernel=hdr["kernel"])
@@ -153,9 +155,14 @@ def save_lm_bundle(path: str, lm) -> None:
                     "norm_out": np.asarray(lm.norm_out)}
     blocks_hdr = []
     for i, blk in enumerate(lm.blocks):
-        bh = {"linears": {}}
+        bh = {"linears": {}, "fused_ffn": bool(blk.fused_ffn),
+              "kernel": blk.kernel}
         for name, lin in blk.linears.items():
             bh["linears"][name] = _linear_record(lin, f"b{i}.{name}", arrays)
+        if blk.qkv is not None:
+            bh["qkv"] = _fmt_record(blk.qkv["fmt"], f"b{i}.qkv.fmt", arrays)
+            arrays[f"b{i}.qkv.scale"] = np.asarray(blk.qkv["scale"])
+            arrays[f"b{i}.qkv.bias"] = np.asarray(blk.qkv["bias"])
         arrays[f"b{i}.norm_attn"] = np.asarray(blk.norm_attn)
         arrays[f"b{i}.norm_ffn"] = np.asarray(blk.norm_ffn)
         if blk.moe is not None:
@@ -197,9 +204,19 @@ def load_lm_bundle(path: str):
                              top_k=cfg.moe_top_k,
                              capacity_factor=cfg.moe_capacity_factor),
                 data[f"b{i}.moe.router"], experts)
+        qkv = None
+        if bh.get("qkv") is not None:
+            import jax
+            import jax.numpy as jnp
+            qkv = {"fmt": jax.tree_util.tree_map(
+                       jnp.asarray,
+                       _fmt_restore(bh["qkv"], f"b{i}.qkv.fmt", data)),
+                   "scale": jnp.asarray(data[f"b{i}.qkv.scale"]),
+                   "bias": jnp.asarray(data[f"b{i}.qkv.bias"])}
         blocks.append(ExportedTransformerBlock(
             cfg, linears, data[f"b{i}.norm_attn"], data[f"b{i}.norm_ffn"],
-            moe))
+            moe, fused_ffn=bh.get("fused_ffn", False), qkv=qkv,
+            kernel=bh.get("kernel")))
     return ExportedTransformerLM(cfg, blocks, data["embed"], data["norm_out"])
 
 

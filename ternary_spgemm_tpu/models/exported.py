@@ -57,22 +57,31 @@ class ExportedBitLinear:
 
     @classmethod
     def from_params(cls, params: dict, format_cls: Type[TernaryFormat], *,
-                    kernel: Optional[str] = None, **fmt_kwargs):
+                    kernel: Optional[str] = None, with_transpose: bool = True,
+                    **fmt_kwargs):
+        """``with_transpose=False`` skips building the transposed container
+        (halves export time + memory) — the layer becomes FORWARD-ONLY
+        (``jax.grad`` through it raises); the right choice for pure
+        serving."""
         Wq, gamma = ternary_quantize(params["w"])
         Wq = np.asarray(Wq, np.int8)
-        return cls(format_cls.from_dense(Wq, **fmt_kwargs),
-                   format_cls.from_dense(np.ascontiguousarray(Wq.T), **fmt_kwargs),
+        fmt_t = (format_cls.from_dense(np.ascontiguousarray(Wq.T),
+                                       **fmt_kwargs)
+                 if with_transpose else None)
+        return cls(format_cls.from_dense(Wq, **fmt_kwargs), fmt_t,
                    float(gamma), params["b"], params.get("alpha"), kernel=kernel)
 
     @classmethod
     def from_dense(cls, W: np.ndarray, format_cls: Type[TernaryFormat], *,
                    gamma: float = 1.0, bias=None, alpha=None,
-                   kernel: Optional[str] = None, **fmt_kwargs):
+                   kernel: Optional[str] = None, with_transpose: bool = True,
+                   **fmt_kwargs):
         W = np.asarray(W, np.int8)
         if bias is None:
             bias = np.zeros(W.shape[1], np.float32)
-        return cls(format_cls.from_dense(W, **fmt_kwargs),
-                   format_cls.from_dense(np.ascontiguousarray(W.T), **fmt_kwargs),
+        fmt_t = (format_cls.from_dense(np.ascontiguousarray(W.T), **fmt_kwargs)
+                 if with_transpose else None)
+        return cls(format_cls.from_dense(W, **fmt_kwargs), fmt_t,
                    gamma, bias, alpha, kernel=kernel)
 
     def resolve_kernel(self, M: int, *, absmax: int = 127,
@@ -216,6 +225,11 @@ def _make_vjp_fn(K: int, gamma: float, kernel, *, has_alpha: bool):
         return ternary_spgemm(x, fmt, b / gamma, None, kernel=kernel) * gamma
 
     def linear_t(g, fmt_t):
+        if fmt_t is None:
+            raise ValueError(
+                "this ExportedBitLinear was built with with_transpose=False "
+                "(forward-only, serving export); rebuild with "
+                "with_transpose=True to backpropagate through it")
         # gamma * (g @ Wq^T) through the transposed container
         return ternary_spgemm(g, fmt_t, zero_b_t, None, kernel=kernel) * gamma
 

@@ -331,7 +331,8 @@ class ExportedTransformerBlock:
     def from_params(cls, cfg: BitTransformerConfig, params: dict,
                     format_cls: Type[TernaryFormat], *,
                     kernel: Optional[str] = None, fused_ffn: bool = False,
-                    fused_qkv: bool = False, **fmt_kwargs):
+                    fused_qkv: bool = False, with_transpose: bool = True,
+                    **fmt_kwargs):
         moe = None
         if cfg.moe_experts:
             from ternary_spgemm_tpu.models.moe import BitMoEConfig, ExportedMoE
@@ -346,7 +347,9 @@ class ExportedTransformerBlock:
             names = BitTransformerBlock.LINEARS
         linears = {
             n: ExportedBitLinear.from_params(params[n], format_cls,
-                                             kernel=kernel, **fmt_kwargs)
+                                             kernel=kernel,
+                                             with_transpose=with_transpose,
+                                             **fmt_kwargs)
             for n in names}
         qkv = None
         if fused_qkv:

@@ -147,6 +147,39 @@ def test_lm_serving_bundle_roundtrip(tmp_path):
         assert blk.kernel == kern
 
 
+def test_lm_serving_bundle_fused_paths(tmp_path):
+    """Bundle round-trip of the serving fast paths: fused_ffn flag, the
+    merged-QKV container, and with_transpose=False (forward-only) layers."""
+    import pytest
+    from ternary_spgemm_tpu.formats import TiledBitplane
+    from ternary_spgemm_tpu.models import (
+        BitTransformerConfig, BitTransformerLM)
+    from ternary_spgemm_tpu.models.generate import ExportedTransformerLM
+
+    cfg = BitTransformerConfig(vocab=32, d_model=128, n_heads=2, d_ff=256,
+                               n_layers=1)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(5))
+    lm = ExportedTransformerLM.from_params(
+        model, params, TiledBitplane, kernel="PallasTiledBitplane_i8",
+        fused_ffn=True, fused_qkv=True, with_transpose=False)
+    assert lm.blocks[0].linears["wq"].fmt_t is None
+    path = str(tmp_path / "bundle_fused")
+    checkpoint.save_lm_bundle(path, lm)
+    lm2 = checkpoint.load_lm_bundle(path)
+    blk2 = lm2.blocks[0]
+    assert blk2.fused_ffn and blk2.qkv is not None
+    assert blk2.linears["wq"].fmt_t is None
+
+    toks = jax.random.randint(jax.random.key(6), (1, 4), 0, cfg.vocab)
+    np.testing.assert_allclose(np.asarray(lm(toks)), np.asarray(lm2(toks)),
+                               rtol=1e-6)
+    # forward-only layers refuse to backpropagate, with a clear error
+    x = jnp.ones((2, cfg.d_model), jnp.float32)
+    with pytest.raises(ValueError, match="with_transpose=False"):
+        jax.grad(lambda z: jnp.sum(lm2.blocks[0].linears["wq"](z)))(x)
+
+
 def test_export_model_cli_roundtrip(tmp_path):
     """tools/export_model.py: train-state checkpoint -> bundle -> decode,
     matching the in-process generate() exactly."""
