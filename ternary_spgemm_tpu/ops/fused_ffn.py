@@ -56,6 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ternary_spgemm_tpu.formats import TiledBitplane
 from ternary_spgemm_tpu.ops.pallas_kernels import (
+    _IPREC,
     _decode_halves_u8,
     _epilogue,
     _i8_epilogue,
@@ -157,8 +158,8 @@ def _ffn_kernel(x_ref, p1_ref, ws1_ref, p2_ref, b1_ref, a1_ref, b2_ref,
         a, r = _int8_split_reg(x_ref[:])
         ar = jnp.concatenate([a, r], axis=0)              # (2TM, B1)
         lo, hi = _decode_halves_u8(p1_ref[0, 0, :tkb1], p1_ref[0, 0, tkb1:])
-        acc1_ref[:] += jnp.dot(ar[:, :H1], lo, preferred_element_type=jnp.int32) \
-            + jnp.dot(ar[:, H1:], hi, preferred_element_type=jnp.int32)
+        acc1_ref[:] += jnp.dot(ar[:, :H1], lo, preferred_element_type=jnp.int32, precision=_IPREC) \
+            + jnp.dot(ar[:, H1:], hi, preferred_element_type=jnp.int32, precision=_IPREC)
         ws1acc_ref[:] += ws1_ref[0, 0]
 
         @pl.when(kb == nb1 - 1)
@@ -180,8 +181,8 @@ def _ffn_kernel(x_ref, p1_ref, ws1_ref, p2_ref, b1_ref, a1_ref, b2_ref,
         kk = k - P1
         lo, hi = _decode_halves_u8(p2_ref[0, 0, :tkb2], p2_ref[0, 0, tkb2:])
         hblk = _load_hidden_q(hf_ref, rmax_ref, kk, lpb)  # (TM, B2) int8
-        acc2_ref[:] += jnp.dot(hblk[:, :H2], lo, preferred_element_type=jnp.int32) \
-            + jnp.dot(hblk[:, H2:], hi, preferred_element_type=jnp.int32)
+        acc2_ref[:] += jnp.dot(hblk[:, :H2], lo, preferred_element_type=jnp.int32, precision=_IPREC) \
+            + jnp.dot(hblk[:, H2:], hi, preferred_element_type=jnp.int32, precision=_IPREC)
 
     @pl.when(k == P1 + nb2 - 1)
     def _():
@@ -352,10 +353,10 @@ def _swiglu_kernel(xq_ref, sx_ref, pg_ref, pu_ref, pd_ref, o_ref,
         xb = xq_ref[:]
         glo, ghi = _decode_halves_u8(pg_ref[0, 0, :tkb1], pg_ref[0, 0, tkb1:])
         ulo, uhi = _decode_halves_u8(pu_ref[0, 0, :tkb1], pu_ref[0, 0, tkb1:])
-        accg_ref[:] += jnp.dot(xb[:, :H1], glo, preferred_element_type=jnp.int32) \
-            + jnp.dot(xb[:, H1:], ghi, preferred_element_type=jnp.int32)
-        accu_ref[:] += jnp.dot(xb[:, :H1], ulo, preferred_element_type=jnp.int32) \
-            + jnp.dot(xb[:, H1:], uhi, preferred_element_type=jnp.int32)
+        accg_ref[:] += jnp.dot(xb[:, :H1], glo, preferred_element_type=jnp.int32, precision=_IPREC) \
+            + jnp.dot(xb[:, H1:], ghi, preferred_element_type=jnp.int32, precision=_IPREC)
+        accu_ref[:] += jnp.dot(xb[:, :H1], ulo, preferred_element_type=jnp.int32, precision=_IPREC) \
+            + jnp.dot(xb[:, H1:], uhi, preferred_element_type=jnp.int32, precision=_IPREC)
 
         @pl.when(kb == nb1 - 1)
         def _():
@@ -371,8 +372,8 @@ def _swiglu_kernel(xq_ref, sx_ref, pg_ref, pu_ref, pd_ref, o_ref,
         kk = k - P1
         lo, hi = _decode_halves_u8(pd_ref[0, 0, :tkb2], pd_ref[0, 0, tkb2:])
         hblk = _load_hidden_q(hf_ref, rmax_ref, kk, lpb)
-        acc2_ref[:] += jnp.dot(hblk[:, :H2], lo, preferred_element_type=jnp.int32) \
-            + jnp.dot(hblk[:, H2:], hi, preferred_element_type=jnp.int32)
+        acc2_ref[:] += jnp.dot(hblk[:, :H2], lo, preferred_element_type=jnp.int32, precision=_IPREC) \
+            + jnp.dot(hblk[:, H2:], hi, preferred_element_type=jnp.int32, precision=_IPREC)
 
     @pl.when(k == P1 + nb2 - 1)
     def _():

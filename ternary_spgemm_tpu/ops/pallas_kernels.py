@@ -59,6 +59,12 @@ from ternary_spgemm_tpu.formats import (
 from ternary_spgemm_tpu.ops.api import register_kernel
 from ternary_spgemm_tpu.utils import cdiv, round_up
 
+#: Integer MXU dots must NOT inherit an ambient ``jax.default_matmul_
+#: precision("highest"/"float32")`` context — Mosaic rejects fp32 contract
+#: precision on i8 operands ("Bad lhs type"), and integer accumulation is
+#: exact at any precision anyway. Pinned explicitly at every int-dot site.
+_IPREC = jax.lax.Precision.DEFAULT
+
 
 def _interpret() -> bool:
     """Pallas kernels compile via Mosaic on TPU, interpret elsewhere (tests
@@ -308,8 +314,8 @@ def _dense_i8_kernel(a_ref, r_ref, w_ref, b_ref, al_ref, o_ref, acc_ref,
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
     w = w_ref[:]
-    acc_ref[:] += 8 * jnp.dot(a_ref[:], w, preferred_element_type=jnp.int32) \
-        + jnp.dot(r_ref[:], w, preferred_element_type=jnp.int32)
+    acc_ref[:] += 8 * jnp.dot(a_ref[:], w, preferred_element_type=jnp.int32, precision=_IPREC) \
+        + jnp.dot(r_ref[:], w, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += jnp.sum(w.astype(jnp.int32), axis=0, keepdims=True)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -327,7 +333,7 @@ def _dense_i8s_kernel(ar_ref, w_ref, b_ref, al_ref, o_ref, acc_ref,
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
     w = w_ref[:]
-    acc_ref[:] += jnp.dot(ar_ref[:], w, preferred_element_type=jnp.int32)
+    acc_ref[:] += jnp.dot(ar_ref[:], w, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += jnp.sum(w.astype(jnp.int32), axis=0, keepdims=True)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -432,8 +438,8 @@ def _packed_i8_kernel(a_ref, r_ref, p_ref, b_ref, al_ref, o_ref, acc_ref,
         else:
             c = (p >> (2 * j)) & 3
             w = ((c & 1) - (c & 2)).astype(jnp.int8)
-        acc_ref[:] += 8 * jnp.dot(a_ref[:, j, :], w, preferred_element_type=jnp.int32) \
-            + jnp.dot(r_ref[:, j, :], w, preferred_element_type=jnp.int32)
+        acc_ref[:] += 8 * jnp.dot(a_ref[:, j, :], w, preferred_element_type=jnp.int32, precision=_IPREC) \
+            + jnp.dot(r_ref[:, j, :], w, preferred_element_type=jnp.int32, precision=_IPREC)
         wsum_ref[:] += jnp.sum(w.astype(jnp.int32), axis=0, keepdims=True)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -551,8 +557,8 @@ def _blockpacked_i8_kernel(a_ref, r_ref, p_ref, b_ref, al_ref, o_ref,
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
     w_full = _decode_block(p_ref[:].astype(jnp.int32), factor)
-    acc_ref[:] += 8 * jnp.dot(a_ref[:], w_full, preferred_element_type=jnp.int32) \
-        + jnp.dot(r_ref[:], w_full, preferred_element_type=jnp.int32)
+    acc_ref[:] += 8 * jnp.dot(a_ref[:], w_full, preferred_element_type=jnp.int32, precision=_IPREC) \
+        + jnp.dot(r_ref[:], w_full, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += jnp.sum(w_full.astype(jnp.int32), axis=0, keepdims=True)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -570,7 +576,7 @@ def _blockpacked_i8s_kernel(ar_ref, p_ref, b_ref, al_ref, o_ref,
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
     w_full = _decode_block(p_ref[:].astype(jnp.int32), factor)
-    acc_ref[:] += jnp.dot(ar_ref[:], w_full, preferred_element_type=jnp.int32)
+    acc_ref[:] += jnp.dot(ar_ref[:], w_full, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += jnp.sum(w_full.astype(jnp.int32), axis=0, keepdims=True)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -667,8 +673,8 @@ def _tiled_dense_i8_kernel(a_ref, r_ref, w_ref, b_ref, al_ref, o_ref,
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
     w = w_ref[0, 0]
-    acc_ref[:] += 8 * jnp.dot(a_ref[:], w, preferred_element_type=jnp.int32) \
-        + jnp.dot(r_ref[:], w, preferred_element_type=jnp.int32)
+    acc_ref[:] += 8 * jnp.dot(a_ref[:], w, preferred_element_type=jnp.int32, precision=_IPREC) \
+        + jnp.dot(r_ref[:], w, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += jnp.sum(w.astype(jnp.int32), axis=0, keepdims=True)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -794,7 +800,7 @@ def _tiled_dense_x8_kernel(x_ref, w_ref, b_ref, al_ref, o_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     acc_ref[:] += jnp.dot(x_ref[:], w_ref[0, 0],
-                          preferred_element_type=jnp.int32)
+                          preferred_element_type=jnp.int32, precision=_IPREC)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
@@ -839,8 +845,8 @@ def _tiled_blockpacked_i8_kernel(a_ref, r_ref, p_ref, b_ref, al_ref, o_ref,
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
     w = _decode_block(p_ref[0, 0].astype(jnp.int32), factor)  # (factor*TKq, TN)
-    acc_ref[:] += 8 * jnp.dot(a_ref[:], w, preferred_element_type=jnp.int32) \
-        + jnp.dot(r_ref[:], w, preferred_element_type=jnp.int32)
+    acc_ref[:] += 8 * jnp.dot(a_ref[:], w, preferred_element_type=jnp.int32, precision=_IPREC) \
+        + jnp.dot(r_ref[:], w, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += jnp.sum(w.astype(jnp.int32), axis=0, keepdims=True)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -860,7 +866,7 @@ def _tiled_blockpacked_i8s_kernel(ar_ref, p_ref, b_ref, al_ref, o_ref,
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
     w = _decode_block(p_ref[0, 0].astype(jnp.int32), factor)
-    acc_ref[:] += jnp.dot(ar_ref[:], w, preferred_element_type=jnp.int32)
+    acc_ref[:] += jnp.dot(ar_ref[:], w, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += jnp.sum(w.astype(jnp.int32), axis=0, keepdims=True)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -1172,8 +1178,8 @@ def _bitplane_i8fs_kernel(x_ref, p_ref, ws_ref, b_ref, al_ref, o_ref,
     a, r = _int8_split_reg(x_ref[:])
     ar = jnp.concatenate([a, r], axis=0)          # (2TM, B), in-register
     lo, hi = _decode_halves_u8(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
-    acc_ref[:] += jnp.dot(ar[:, :H], lo, preferred_element_type=jnp.int32) \
-        + jnp.dot(ar[:, H:], hi, preferred_element_type=jnp.int32)
+    acc_ref[:] += jnp.dot(ar[:, :H], lo, preferred_element_type=jnp.int32, precision=_IPREC) \
+        + jnp.dot(ar[:, H:], hi, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += ws_ref[0, 0]
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -1195,10 +1201,10 @@ def _bitplane_i8fu_kernel(x_ref, p_ref, ws_ref, b_ref, al_ref, o_ref,
 
     a, r = _int8_split_reg(x_ref[:])
     lo, hi = _decode_halves_u8(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
-    acc_ref[:] += 8 * (jnp.dot(a[:, :H], lo, preferred_element_type=jnp.int32)
-                       + jnp.dot(a[:, H:], hi, preferred_element_type=jnp.int32)) \
-        + jnp.dot(r[:, :H], lo, preferred_element_type=jnp.int32) \
-        + jnp.dot(r[:, H:], hi, preferred_element_type=jnp.int32)
+    acc_ref[:] += 8 * (jnp.dot(a[:, :H], lo, preferred_element_type=jnp.int32, precision=_IPREC)
+                       + jnp.dot(a[:, H:], hi, preferred_element_type=jnp.int32, precision=_IPREC)) \
+        + jnp.dot(r[:, :H], lo, preferred_element_type=jnp.int32, precision=_IPREC) \
+        + jnp.dot(r[:, H:], hi, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += ws_ref[0, 0]
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -1219,8 +1225,8 @@ def _bitplane_i8s_kernel(ar_ref, p_ref, ws_ref, b_ref, al_ref, o_ref,
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
     lo, hi = _decode_halves_u8(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
-    acc_ref[:] += jnp.dot(ar_ref[:, :H], lo, preferred_element_type=jnp.int32) \
-        + jnp.dot(ar_ref[:, H:], hi, preferred_element_type=jnp.int32)
+    acc_ref[:] += jnp.dot(ar_ref[:, :H], lo, preferred_element_type=jnp.int32, precision=_IPREC) \
+        + jnp.dot(ar_ref[:, H:], hi, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += ws_ref[0, 0]
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -1240,10 +1246,10 @@ def _bitplane_i8u_kernel(a_ref, r_ref, p_ref, ws_ref, b_ref, al_ref, o_ref,
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
     lo, hi = _decode_halves_u8(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
-    acc_ref[:] += 8 * (jnp.dot(a_ref[:, :H], lo, preferred_element_type=jnp.int32)
-                       + jnp.dot(a_ref[:, H:], hi, preferred_element_type=jnp.int32)) \
-        + jnp.dot(r_ref[:, :H], lo, preferred_element_type=jnp.int32) \
-        + jnp.dot(r_ref[:, H:], hi, preferred_element_type=jnp.int32)
+    acc_ref[:] += 8 * (jnp.dot(a_ref[:, :H], lo, preferred_element_type=jnp.int32, precision=_IPREC)
+                       + jnp.dot(a_ref[:, H:], hi, preferred_element_type=jnp.int32, precision=_IPREC)) \
+        + jnp.dot(r_ref[:, :H], lo, preferred_element_type=jnp.int32, precision=_IPREC) \
+        + jnp.dot(r_ref[:, H:], hi, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += ws_ref[0, 0]
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -1380,8 +1386,8 @@ def _nibpair_i8fs_kernel(x_ref, w_ref, ws_ref, b_ref, al_ref, o_ref,
     a, r = _int8_split_reg(x_ref[:])
     ar = jnp.concatenate([a, r], axis=0)
     lo, hi = _decode_nibpair_words(w_ref[0, 0])
-    acc_ref[:] += jnp.dot(ar[:, :H], lo, preferred_element_type=jnp.int32) \
-        + jnp.dot(ar[:, H:], hi, preferred_element_type=jnp.int32)
+    acc_ref[:] += jnp.dot(ar[:, :H], lo, preferred_element_type=jnp.int32, precision=_IPREC) \
+        + jnp.dot(ar[:, H:], hi, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += ws_ref[0, 0]
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -1403,8 +1409,8 @@ def _nibpair_i8s_kernel(ar_ref, w_ref, ws_ref, b_ref, al_ref, o_ref,
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
     lo, hi = _decode_nibpair_words(w_ref[0, 0])
-    acc_ref[:] += jnp.dot(ar_ref[:, :H], lo, preferred_element_type=jnp.int32) \
-        + jnp.dot(ar_ref[:, H:], hi, preferred_element_type=jnp.int32)
+    acc_ref[:] += jnp.dot(ar_ref[:, :H], lo, preferred_element_type=jnp.int32, precision=_IPREC) \
+        + jnp.dot(ar_ref[:, H:], hi, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += ws_ref[0, 0]
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -1424,10 +1430,10 @@ def _nibpair_i8u_kernel(a_ref, r_ref, w_ref, ws_ref, b_ref, al_ref, o_ref,
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
     lo, hi = _decode_nibpair_words(w_ref[0, 0])
-    acc_ref[:] += 8 * (jnp.dot(a_ref[:, :H], lo, preferred_element_type=jnp.int32)
-                       + jnp.dot(a_ref[:, H:], hi, preferred_element_type=jnp.int32)) \
-        + jnp.dot(r_ref[:, :H], lo, preferred_element_type=jnp.int32) \
-        + jnp.dot(r_ref[:, H:], hi, preferred_element_type=jnp.int32)
+    acc_ref[:] += 8 * (jnp.dot(a_ref[:, :H], lo, preferred_element_type=jnp.int32, precision=_IPREC)
+                       + jnp.dot(a_ref[:, H:], hi, preferred_element_type=jnp.int32, precision=_IPREC)) \
+        + jnp.dot(r_ref[:, :H], lo, preferred_element_type=jnp.int32, precision=_IPREC) \
+        + jnp.dot(r_ref[:, H:], hi, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += ws_ref[0, 0]
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -1506,8 +1512,8 @@ def _tiled_bitplane_x8_kernel(x_ref, p_ref, b_ref, al_ref, o_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     lo, hi = _decode_halves_u8(p_ref[0, 0, :tkb], p_ref[0, 0, tkb:])
-    acc_ref[:] += jnp.dot(x_ref[:, :H], lo, preferred_element_type=jnp.int32) \
-        + jnp.dot(x_ref[:, H:], hi, preferred_element_type=jnp.int32)
+    acc_ref[:] += jnp.dot(x_ref[:, :H], lo, preferred_element_type=jnp.int32, precision=_IPREC) \
+        + jnp.dot(x_ref[:, H:], hi, preferred_element_type=jnp.int32, precision=_IPREC)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
@@ -1637,7 +1643,7 @@ def _ell_deposit_kernel(cp_ref, cn_ref, ar_ref, pln_ref, ws_ref, b_ref,
     wn = jax.lax.fori_loop(0, cap_n, _dep(8 * cap_p_max), zero)
     w = _decode_bitplanes_merged(_words_to_byte_rows(wp),
                                  _words_to_byte_rows(wn))
-    acc_ref[:] += jnp.dot(ar_ref[:], w, preferred_element_type=jnp.int32)
+    acc_ref[:] += jnp.dot(ar_ref[:], w, preferred_element_type=jnp.int32, precision=_IPREC)
     wsum_ref[:] += ws_ref[0, 0]
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)

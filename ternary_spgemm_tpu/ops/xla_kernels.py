@@ -298,7 +298,10 @@ def dense_mxu_bf16_kernel(X, fmt: DenseTernary, bias, alpha=None):
 def dense_mxu_x8_kernel(X, fmt: DenseTernary, bias, alpha=None):
     x8 = jnp.clip(jnp.round(jnp.asarray(X, jnp.float32)),
                   -127.0, 127.0).astype(jnp.int8)
-    Y = jnp.dot(x8, fmt.dense, preferred_element_type=jnp.int32)
+    # precision pinned: an ambient default_matmul_precision("highest")
+    # context must not attach fp32 contract precision to an i8 dot
+    Y = jnp.dot(x8, fmt.dense, preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
     return finish(Y.astype(jnp.float32), bias, alpha)
 
 
