@@ -143,13 +143,16 @@ def _cached_attend(n_heads: int, q, k_new, v_new, cache, pos):
 
 
 def _block_decode(n_heads: int, lin, norm_attn, norm_ffn, x, cache, pos,
-                  ffn=None):
+                  ffn=None, qkv=None):
     """One block, one token. ``lin(name, z)`` is the backend's projection;
     ``ffn(h) -> h`` overrides the dense SwiGLU (MoE-FFN blocks route the
-    single-token batch through their experts)."""
+    single-token batch through their experts; exported blocks route through
+    the fused block kernel); ``qkv(h) -> (q, k, v)`` overrides the three
+    attention input projections (the merged-QKV container)."""
     h = rms_norm(x, norm_attn)
-    attn, cache = _cached_attend(
-        n_heads, lin("wq", h), lin("wk", h), lin("wv", h), cache, pos)
+    q, k, v = (qkv(h) if qkv is not None
+               else (lin("wq", h), lin("wk", h), lin("wv", h)))
+    attn, cache = _cached_attend(n_heads, q, k, v, cache, pos)
     x = x + lin("wo", attn)
     h = rms_norm(x, norm_ffn)
     if ffn is not None:
@@ -181,11 +184,12 @@ def _prefill_attend(n_heads: int, q, k, v, cache):
 
 
 def _block_prefill(n_heads: int, lin, norm_attn, norm_ffn, x, cache,
-                   ffn=None):
+                   ffn=None, qkv=None):
     """One block over the whole prompt, filling its cache."""
     h = rms_norm(x, norm_attn)
-    attn, cache = _prefill_attend(
-        n_heads, lin("wq", h), lin("wk", h), lin("wv", h), cache)
+    q, k, v = (qkv(h) if qkv is not None
+               else (lin("wq", h), lin("wk", h), lin("wv", h)))
+    attn, cache = _prefill_attend(n_heads, q, k, v, cache)
     x = x + lin("wo", attn)
     h = rms_norm(x, norm_ffn)
     if ffn is not None:
@@ -237,6 +241,25 @@ def lm_decode_step(model: BitTransformerLM, params, tokens, caches, pos):
     return jnp.einsum("btd,vd->btv", x, params["embed"])[:, 0], new_caches
 
 
+def _fused_hooks(block, rows: int, bt):
+    """(ffn, qkv) overrides for an exported block's serving fast paths
+    (docs/perf.md §16) in the cached prefill/decode loops: the fused SwiGLU
+    block kernel when its contract holds at this row count, and the
+    merged-QKV container when present. ``bt(z)`` gives the (B, T) to
+    restore on the 3-D activations."""
+    ffn = qkv = None
+    if block.fused_ffn and block._fused_ffn_applicable(rows):
+        def ffn(h, b_=block):
+            B, T = bt(h)
+            return b_._ffn(h.reshape(rows, -1)).reshape(B, T, -1)
+    if block.qkv is not None:
+        def qkv(h, b_=block):
+            B, T = bt(h)
+            return tuple(z.reshape(B, T, -1)
+                         for z in b_._qkv(h.reshape(rows, -1)))
+    return ffn, qkv
+
+
 class ExportedTransformerLM:
     """A trained BitTransformerLM frozen layer-by-layer into ternary
     containers (registered pytree — pass THROUGH jit as an argument so the
@@ -277,35 +300,43 @@ class ExportedTransformerLM:
 
     def prefill(self, tokens, caches):
         """Prompt prefill: ``tokens (B, T0) -> (logits, caches')``."""
+        from ternary_spgemm_tpu.ops import stack_mode
+
         B, T = tokens.shape
         x = self.embed[tokens]
         new_caches = []
-        for block, cache in zip(self.blocks, caches):
-            lin = (lambda b_: lambda n, z: b_.linears[n](
-                z.reshape(B * T, -1)).reshape(B, T, -1))(block)
-            ffn = None
-            if block.moe is not None:
-                ffn = (lambda b_: lambda h: b_.moe(h))(block)
-            x, cache = _block_prefill(self.cfg.n_heads, lin, block.norm_attn,
-                                      block.norm_ffn, x, cache, ffn=ffn)
-            new_caches.append(cache)
+        with stack_mode():
+            for block, cache in zip(self.blocks, caches):
+                lin = (lambda b_: lambda n, z: b_.linears[n](
+                    z.reshape(B * T, -1)).reshape(B, T, -1))(block)
+                ffn, qkv = _fused_hooks(block, B * T, lambda z: (B, T))
+                if block.moe is not None:
+                    ffn = (lambda b_: lambda h: b_.moe(h))(block)
+                x, cache = _block_prefill(self.cfg.n_heads, lin,
+                                          block.norm_attn, block.norm_ffn,
+                                          x, cache, ffn=ffn, qkv=qkv)
+                new_caches.append(cache)
         x = rms_norm(x, self.norm_out)
         return jnp.einsum("btd,vd->btv", x, self.embed), new_caches
 
     def decode_step(self, tokens, caches, pos):
         """``tokens (B,) -> (logits (B, vocab), caches')`` via the caches."""
+        from ternary_spgemm_tpu.ops import stack_mode
+
         B = tokens.shape[0]
         x = self.embed[tokens][:, None, :]
         new_caches = []
-        for block, cache in zip(self.blocks, caches):
-            lin = (lambda b_: lambda n, z: b_.linears[n](
-                z.reshape(B, -1))[:, None, :])(block)
-            ffn = None
-            if block.moe is not None:
-                ffn = (lambda b_: lambda h: b_.moe(h))(block)
-            x, cache = _block_decode(self.cfg.n_heads, lin, block.norm_attn,
-                                     block.norm_ffn, x, cache, pos, ffn=ffn)
-            new_caches.append(cache)
+        with stack_mode():
+            for block, cache in zip(self.blocks, caches):
+                lin = (lambda b_: lambda n, z: b_.linears[n](
+                    z.reshape(B, -1))[:, None, :])(block)
+                ffn, qkv = _fused_hooks(block, B, lambda z: (B, 1))
+                if block.moe is not None:
+                    ffn = (lambda b_: lambda h: b_.moe(h))(block)
+                x, cache = _block_decode(self.cfg.n_heads, lin,
+                                         block.norm_attn, block.norm_ffn,
+                                         x, cache, pos, ffn=ffn, qkv=qkv)
+                new_caches.append(cache)
         x = rms_norm(x, self.norm_out)
         return jnp.einsum("btd,vd->btv", x, self.embed)[:, 0], new_caches
 

@@ -380,13 +380,17 @@ class ExportedTransformerBlock:
                 "scale": jnp.asarray(np.concatenate(scales)),
                 "bias": jnp.asarray(np.concatenate(biases))}
 
-    def _fused_ffn_applicable(self, rows: int) -> bool:
+    def _fused_ffn_applicable(self, rows: int = 0) -> bool:
         """The fused SwiGLU block kernel's contract (``ops/fused_ffn.py``):
-        serving batch, single-N-tile TiledBitplane containers, biasless
-        projections (decided at construction on concrete arrays)."""
+        TiledBitplane containers, biasless projections (decided at
+        construction on concrete arrays), single-tile output width. Row
+        counts above the kernel's serving-M limit are handled by CHUNKING
+        (:meth:`_ffn`), so ``rows`` no longer gates applicability — the
+        fused path's A8 numerics apply at every batch size, keeping the
+        full forward, prefill, and stepwise decode identical."""
         from ternary_spgemm_tpu.formats import TiledBitplane
 
-        if self.moe is not None or rows > 128 or not self._ffn_biasless:
+        if self.moe is not None or not self._ffn_biasless:
             return False
         for n in ("w_gate", "w_up", "w_down"):
             lin = self.linears.get(n)
@@ -396,21 +400,33 @@ class ExportedTransformerBlock:
         # may span several — the kernel keeps per-tile accumulators)
         return self.linears["w_down"].fmt.plane.shape[1] == 1
 
+    def _fused_ffn_call(self, h):
+        from ternary_spgemm_tpu.ops.fused_ffn import (
+            fused_bitplane_swiglu, requantize_rows)
+
+        g, u, dn = (self.linears[n] for n in ("w_gate", "w_up", "w_down"))
+        hq, sx = requantize_rows(h)
+        return fused_bitplane_swiglu(
+            hq, sx, g.fmt, u.fmt, dn.fmt, gamma_gate=g.gamma,
+            gamma_up=u.gamma, gamma_down=dn.gamma)
+
     def _ffn(self, h):
         """SwiGLU FFN over flattened rows. With ``fused_ffn`` and the block
-        kernel's contract met, the whole FFN runs as ONE Pallas call in the
-        deployed W1.58-A8 regime (per-row int8 activation quantization —
-        the approximation every A8 serving path already makes,
-        docs/perf.md §11); otherwise three registry SpMM calls."""
-        if self.fused_ffn and self._fused_ffn_applicable(h.shape[0]):
-            from ternary_spgemm_tpu.ops.fused_ffn import (
-                fused_bitplane_swiglu, requantize_rows)
-
-            g, u, dn = (self.linears[n] for n in ("w_gate", "w_up", "w_down"))
-            hq, sx = requantize_rows(h)
-            return fused_bitplane_swiglu(
-                hq, sx, g.fmt, u.fmt, dn.fmt, gamma_gate=g.gamma,
-                gamma_up=u.gamma, gamma_down=dn.gamma)
+        kernel's contract met, the whole FFN runs as ONE Pallas call per
+        <=128-row chunk in the deployed W1.58-A8 regime (per-row int8
+        activation quantization — the approximation every A8 serving path
+        already makes, docs/perf.md §11); otherwise three registry SpMM
+        calls. Chunking keeps the numerics identical across row counts
+        (prefill == decode == full forward) at the cost of re-streaming the
+        weight planes per chunk above 128 rows — the flag is serving-
+        oriented; leave it off for training-size batches."""
+        if self.fused_ffn and self._fused_ffn_applicable():
+            rows = h.shape[0]
+            if rows <= 128:
+                return self._fused_ffn_call(h)
+            parts = [self._fused_ffn_call(h[i:i + 128])
+                     for i in range(0, rows, 128)]
+            return jnp.concatenate(parts, axis=0)
         return self.linears["w_down"](
             jax.nn.silu(self.linears["w_gate"](h)) * self.linears["w_up"](h))
 

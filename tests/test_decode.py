@@ -195,3 +195,37 @@ def test_generate_int8_cache_runs_both_backends():
     exported = ExportedTransformerLM.from_params(model, params, DenseTernary)
     out_e = generate(exported, toks, 4, cache_dtype=jnp.int8)
     assert out_e.shape == out.shape
+
+
+def test_fused_paths_decode_matches_full_forward():
+    """ExportedTransformerLM with BOTH serving fast paths on (fused SwiGLU
+    block kernel + merged-QKV container, TiledBitplane): the KV-cached
+    stepwise decode and the batched prefill must reproduce the fused full
+    forward's logits at every position — the chunked fused FFN keeps the A8
+    numerics identical at every row count, so the three paths agree."""
+    from ternary_spgemm_tpu.formats import TiledBitplane
+
+    model, params, toks = _setup(seed=8)
+    # the fused FFN contract requires biasless FFN projections
+    for p in params["blocks"]:
+        for n in ("w_gate", "w_up", "w_down"):
+            p[n]["b"] = jnp.zeros_like(p[n]["b"])
+    exported = ExportedTransformerLM.from_params(
+        model, params, TiledBitplane, fused_ffn=True, fused_qkv=True)
+    assert all(b._fused_ffn_applicable() and b.qkv is not None
+               for b in exported.blocks)
+
+    want = jax.jit(lambda lm, t: lm(t))(exported, toks)   # fused full fwd
+    B, T0 = toks.shape
+
+    caches = init_cache(CFG, B, T0)
+    for t in range(T0):
+        logits, caches = exported.decode_step(toks[:, t], caches,
+                                              jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(want[:, t]),
+                                   rtol=2e-4, atol=2e-4)
+
+    pre_logits, _ = exported.prefill(toks, init_cache(CFG, B, T0))
+    np.testing.assert_allclose(np.asarray(pre_logits), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -199,7 +199,7 @@ def test_exported_block_fused_ffn():
     blk = ExportedTransformerBlock.from_params(cfg, params, TiledBitplane,
                                                fused_ffn=True)
     assert blk._fused_ffn_applicable(8)
-    assert not blk._fused_ffn_applicable(256)   # training batch: unfused
+    assert blk._fused_ffn_applicable(256)   # big batches chunk, stay fused
 
     h = jnp.asarray(generate_x(8, cfg.d_model, seed=4)) / 173.0
     got = np.asarray(jax.jit(lambda b, z: b._ffn(z))(blk, h))
@@ -209,6 +209,17 @@ def test_exported_block_fused_ffn():
         hq, sx, g.fmt, u.fmt, dn.fmt, gamma_gate=g.gamma, gamma_up=u.gamma,
         gamma_down=dn.gamma, kernel=KERNEL))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # >128 rows: the chunked path must equal row-wise application of the
+    # fused kernel (per-row requantize makes each row independent)
+    h_big = jnp.asarray(generate_x(150, cfg.d_model, seed=6)) / 173.0
+    got_big = np.asarray(jax.jit(lambda b, z: b._ffn(z))(blk, h_big))
+    np.testing.assert_allclose(got_big[:128],
+                               np.asarray(blk._fused_ffn_call(h_big[:128])),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got_big[128:],
+                               np.asarray(blk._fused_ffn_call(h_big[128:])),
+                               rtol=1e-6, atol=1e-6)
 
     # whole-block forward stays finite and jits with the flag on
     x = jnp.asarray(generate_x(1, cfg.d_model, seed=5)).reshape(1, 1, -1) / 300.0
