@@ -38,7 +38,8 @@ class ExportedBitLinear:
     """
 
     def __init__(self, fmt: TernaryFormat, fmt_t: TernaryFormat, gamma: float,
-                 bias, alpha=None, *, kernel: Optional[str] = None):
+                 bias, alpha=None, *, kernel: Optional[str] = None,
+                 a8: bool = False):
         # Containers live as DEVICE pytrees and flow through the custom-VJP
         # fn as ARGUMENTS, never as closure captures: captured leaves inline
         # as HLO literal constants under a user's jit — their bytes ship
@@ -53,12 +54,21 @@ class ExportedBitLinear:
         self.bias = jnp.asarray(bias, jnp.float32)
         self.alpha = None if alpha is None else jnp.asarray(alpha, jnp.float32)
         self.kernel = kernel
+        #: W1.58-A8 serving regime: per-row absmax int8 activation
+        #: requantization before the kernel, row scale applied outside
+        #: (:func:`bitlinear.apply_exported_a8` math, layer-integrated).
+        #: The EXPLICIT round makes the numerics kernel-independent, and
+        #: the custom-VJP backward doubles as the straight-through
+        #: estimator of the rounding. The right mode for integer-only-
+        #: exact containers (TiledBitplane & friends) on non-integer
+        #: activations — without it their kernels round UNSCALED X.
+        self.a8 = bool(a8)
         self._f = None  # custom-VJP fn, built lazily (pytree unflatten path)
 
     @classmethod
     def from_params(cls, params: dict, format_cls: Type[TernaryFormat], *,
                     kernel: Optional[str] = None, with_transpose: bool = True,
-                    **fmt_kwargs):
+                    a8: bool = False, **fmt_kwargs):
         """``with_transpose=False`` skips building the transposed container
         (halves export time + memory) — the layer becomes FORWARD-ONLY
         (``jax.grad`` through it raises); the right choice for pure
@@ -69,20 +79,21 @@ class ExportedBitLinear:
                                        **fmt_kwargs)
                  if with_transpose else None)
         return cls(format_cls.from_dense(Wq, **fmt_kwargs), fmt_t,
-                   float(gamma), params["b"], params.get("alpha"), kernel=kernel)
+                   float(gamma), params["b"], params.get("alpha"),
+                   kernel=kernel, a8=a8)
 
     @classmethod
     def from_dense(cls, W: np.ndarray, format_cls: Type[TernaryFormat], *,
                    gamma: float = 1.0, bias=None, alpha=None,
                    kernel: Optional[str] = None, with_transpose: bool = True,
-                   **fmt_kwargs):
+                   a8: bool = False, **fmt_kwargs):
         W = np.asarray(W, np.int8)
         if bias is None:
             bias = np.zeros(W.shape[1], np.float32)
         fmt_t = (format_cls.from_dense(np.ascontiguousarray(W.T), **fmt_kwargs)
                  if with_transpose else None)
         return cls(format_cls.from_dense(W, **fmt_kwargs), fmt_t,
-                   gamma, bias, alpha, kernel=kernel)
+                   gamma, bias, alpha, kernel=kernel, a8=a8)
 
     def resolve_kernel(self, M: int, *, absmax: int = 127,
                        integer: bool = True, cache_path: Optional[str] = None,
@@ -125,10 +136,17 @@ class ExportedBitLinear:
                 from ternary_spgemm_tpu.ops.autotune import autotune
                 self.kernel = kernel = autotune(x, self.fmt, self.bias,
                                                 self.alpha)
+        if kernel is None and self.a8:
+            # requantized X is integer |x|<=127 by construction: pick the
+            # int8-native kernel deliberately (default dispatch would warn
+            # about rounding that cannot happen here)
+            kernel = _default_a8_kernel(self.fmt)
         if self._f is None or self._f[0] != kernel:
             self._f = (kernel,
                        _make_vjp_fn(self.fmt.shape[0], self.gamma, kernel,
-                                    has_alpha=self.alpha is not None))
+                                    has_alpha=self.alpha is not None,
+                                    a8_n=self.fmt.shape[1] if self.a8
+                                    else None))
         f = self._f[1]
         if self.alpha is None:
             return f(x, self.bias, self.fmt, self.fmt_t)
@@ -136,7 +154,7 @@ class ExportedBitLinear:
 
 
 def _flatten_bitlinear(l: "ExportedBitLinear"):
-    return (l.bias, l.alpha, l.fmt, l.fmt_t), (l.gamma, l.kernel)
+    return (l.bias, l.alpha, l.fmt, l.fmt_t), (l.gamma, l.kernel, l.a8)
 
 
 def _unflatten_bitlinear(aux, children) -> "ExportedBitLinear":
@@ -144,7 +162,7 @@ def _unflatten_bitlinear(aux, children) -> "ExportedBitLinear":
     # (jax calls it during tracing and structure-only transforms).
     obj = object.__new__(ExportedBitLinear)
     obj.bias, obj.alpha, obj.fmt, obj.fmt_t = children
-    obj.gamma, obj.kernel = aux
+    obj.gamma, obj.kernel, obj.a8 = aux
     obj._f = None
     return obj
 
@@ -217,12 +235,60 @@ def _zero_cotangent(tree):
     return jax.tree_util.tree_map(z, tree)
 
 
-def _make_vjp_fn(K: int, gamma: float, kernel, *, has_alpha: bool):
+def _requantize_a8(x):
+    """Per-row absmax int8 requantize -> (xq f32-integer-valued, scale)."""
+    s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0 + 1e-12
+    return jnp.clip(jnp.round(x / s), -127.0, 127.0), s
+
+
+def _default_a8_kernel(fmt) -> Optional[str]:
+    """Backend-preferred kernel for A8-requantized (integer, |x|<=127)
+    activations over ``fmt``: the int8-native (_x8) domain first, then any
+    restricted-integer (_i8) kernel, Pallas on TPU. None -> the format has
+    fully-exact f32 kernels and default dispatch is already right (and
+    warning-free)."""
+    from ternary_spgemm_tpu.ops.api import all_kernels
+
+    cands = [s for s in all_kernels().values()
+             if isinstance(fmt, s.format_cls) and not s.approximate
+             and s.x_absmax is not None]
+    if not cands:
+        return None
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    return min(cands, key=lambda s: (s.x_absmax != 127,
+                                     s.name.startswith("Pallas") != on_tpu)
+               ).name
+
+
+def _make_vjp_fn(K: int, gamma: float, kernel, *, has_alpha: bool,
+                 a8_n: Optional[int] = None):
     zero_b_t = jnp.zeros((K,), jnp.float32)
 
-    def linear(x, b, fmt):
-        # gamma * (x @ Wq) + b  ==  gamma * (x @ Wq + b/gamma)
-        return ternary_spgemm(x, fmt, b / gamma, None, kernel=kernel) * gamma
+    if a8_n is not None:
+        zero_b = jnp.zeros((a8_n,), jnp.float32)
+
+        def linear(x, b, fmt):
+            # A8: integer kernel dot, per-row scale and bias OUTSIDE (the
+            # scale is per-row so it cannot fold into a per-column bias).
+            # PReLU also stays outside (`f` below applies it after bias).
+            xq, s = _requantize_a8(x)
+            y = ternary_spgemm(xq, fmt, zero_b, None, kernel=kernel)
+            return y * (s * gamma) + b
+    else:
+        def linear(x, b, fmt):
+            # gamma * (x @ Wq) + b  ==  gamma * (x @ Wq + b/gamma)
+            return ternary_spgemm(x, fmt, b / gamma, None, kernel=kernel) * gamma
+
+    # A restricted-domain kernel (x_absmax: _i8 rounds, _x8 rounds+clamps)
+    # would SILENTLY round the float cotangents in the backward pass —
+    # g entries are small floats, so rounding zeroes the gradient. When the
+    # layer's kernel is restricted, the backward requantizes g per-row the
+    # same way the a8 forward treats activations (error ~1/254 relative,
+    # far inside STE noise); exact kernels keep the exact backward.
+    restricted = False
+    if kernel is not None:
+        from ternary_spgemm_tpu.ops.api import get_kernel
+        restricted = get_kernel(kernel).x_absmax is not None
 
     def linear_t(g, fmt_t):
         if fmt_t is None:
@@ -231,6 +297,10 @@ def _make_vjp_fn(K: int, gamma: float, kernel, *, has_alpha: bool):
                 "(forward-only, serving export); rebuild with "
                 "with_transpose=True to backpropagate through it")
         # gamma * (g @ Wq^T) through the transposed container
+        if restricted:
+            gq, sg = _requantize_a8(g)
+            return ternary_spgemm(gq, fmt_t, zero_b_t, None,
+                                  kernel=kernel) * (sg * gamma)
         return ternary_spgemm(g, fmt_t, zero_b_t, None, kernel=kernel) * gamma
 
     if not has_alpha:

@@ -281,12 +281,13 @@ class ExportedTransformerLM:
                     format_cls: Type[TernaryFormat], *,
                     kernel: Optional[str] = None, fused_ffn: bool = False,
                     fused_qkv: bool = False, with_transpose: bool = True,
-                    **fmt_kwargs):
+                    a8: bool = False, **fmt_kwargs):
         from ternary_spgemm_tpu.models.transformer import (
             ExportedTransformerBlock)
         blocks = [ExportedTransformerBlock.from_params(
             model.cfg, p, format_cls, kernel=kernel, fused_ffn=fused_ffn,
-            fused_qkv=fused_qkv, with_transpose=with_transpose, **fmt_kwargs)
+            fused_qkv=fused_qkv, with_transpose=with_transpose, a8=a8,
+            **fmt_kwargs)
             for p in params["blocks"]]
         return cls(model.cfg, blocks, params["embed"], params["norm_out"])
 

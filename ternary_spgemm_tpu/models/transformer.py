@@ -332,7 +332,7 @@ class ExportedTransformerBlock:
                     format_cls: Type[TernaryFormat], *,
                     kernel: Optional[str] = None, fused_ffn: bool = False,
                     fused_qkv: bool = False, with_transpose: bool = True,
-                    **fmt_kwargs):
+                    a8: bool = False, **fmt_kwargs):
         moe = None
         if cfg.moe_experts:
             from ternary_spgemm_tpu.models.moe import BitMoEConfig, ExportedMoE
@@ -349,7 +349,7 @@ class ExportedTransformerBlock:
             n: ExportedBitLinear.from_params(params[n], format_cls,
                                              kernel=kernel,
                                              with_transpose=with_transpose,
-                                             **fmt_kwargs)
+                                             a8=a8, **fmt_kwargs)
             for n in names}
         qkv = None
         if fused_qkv:
@@ -432,18 +432,41 @@ class ExportedTransformerBlock:
 
     def _qkv(self, h):
         """(rows, d) -> q, k, v, each (rows, d). With the merged container
-        (``fused_qkv=True``): ONE SpMM over (d, 3d) + per-segment scale."""
+        (``fused_qkv=True``): ONE SpMM over (d, 3d) + per-segment scale.
+        In the A8 regime the shared activation read is also the shared
+        requantize: one per-row scale serves all three projections (what
+        three separate a8 layers would each recompute)."""
         if self.qkv is not None:
+            from ternary_spgemm_tpu.models.exported import _requantize_a8
             from ternary_spgemm_tpu.ops import ternary_spgemm
 
             d = self.cfg.d_model
             z = jnp.zeros((3 * d,), jnp.float32)
-            out = ternary_spgemm(h, self.qkv["fmt"], z, None,
-                                 kernel=self.kernel)
-            out = out * self.qkv["scale"][None, :] + self.qkv["bias"][None, :]
+            if self._a8:
+                from ternary_spgemm_tpu.models.exported import (
+                    _default_a8_kernel)
+
+                hq, s = _requantize_a8(h)
+                kname = self.kernel or _default_a8_kernel(self.qkv["fmt"])
+                out = ternary_spgemm(hq, self.qkv["fmt"], z, None,
+                                     kernel=kname)
+                out = (out * s) * self.qkv["scale"][None, :] \
+                    + self.qkv["bias"][None, :]
+            else:
+                out = ternary_spgemm(h, self.qkv["fmt"], z, None,
+                                     kernel=self.kernel)
+                out = out * self.qkv["scale"][None, :] \
+                    + self.qkv["bias"][None, :]
             return out[:, :d], out[:, d:2 * d], out[:, 2 * d:]
         return (self.linears["wq"](h), self.linears["wk"](h),
                 self.linears["wv"](h))
+
+    @property
+    def _a8(self) -> bool:
+        """Whether this block's layers run the W1.58-A8 serving regime
+        (decided at export via ``from_params(..., a8=True)``)."""
+        lin = self.linears.get("wq")
+        return bool(lin is not None and getattr(lin, "a8", False))
 
     def __call__(self, x):
         from ternary_spgemm_tpu.ops import stack_mode

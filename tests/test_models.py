@@ -265,3 +265,79 @@ def test_apply_exported_a8_rejects_wide_domain_kernel():
     with pytest.raises(ValueError, match="int8-native"):
         apply_exported_a8(np.ones((2, 16), np.float32), fmt, 1.0,
                           np.zeros(8, np.float32), kernel="DenseMXU")
+
+
+def test_exported_layer_a8_mode():
+    """ExportedBitLinear(a8=True): per-row int8 requantize + scale-outside
+    — the layer-integrated W1.58-A8 regime. Must equal the hand-computed
+    round(clip(127 x/absmax)) @ (gamma Wq) * s + b, PReLU after bias; the
+    backward pass is the straight-through estimator gamma * g @ Wq^T."""
+    from ternary_spgemm_tpu.formats import generate_ternary
+    from ternary_spgemm_tpu.models import ExportedBitLinear
+
+    rng = np.random.default_rng(2)
+    K, N, M = 64, 32, 5
+    W = np.asarray(generate_ternary(K, N, 4, seed=3), np.float32)
+    gamma = 0.21
+    params = {"w": jnp.asarray(W * gamma), "b": jnp.asarray(
+        rng.normal(size=N).astype(np.float32)),
+        "alpha": jnp.full((N,), 0.1, jnp.float32)}
+    layer = ExportedBitLinear.from_params(params, DenseTernary, a8=True)
+    assert layer.a8
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32) * 2.5)
+
+    got = np.asarray(jax.jit(lambda l, z: l(z))(layer, x))   # pytree-thru-jit
+    s = np.abs(np.asarray(x)).max(axis=1, keepdims=True) / 127.0 + 1e-12
+    xq = np.clip(np.round(np.asarray(x) / s), -127, 127)
+    y = (xq @ W) * s * layer.gamma + np.asarray(layer.bias)
+    want = np.where(y > 0, y, np.asarray(layer.alpha) * y)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # STE gradient: d/dx sum(prelu(y)) == (where(y>0, 1, alpha) * gamma) @ Wq^T
+    # — computed through the layer's restricted-domain kernel, so the
+    # backward requantizes the cotangent rows per-row (same A8 treatment)
+    g = jax.grad(lambda z: jnp.sum(layer(z)))(x)
+    gy = np.where(y > 0, 1.0, np.asarray(layer.alpha)[None, :])
+    sg = np.abs(gy).max(axis=1, keepdims=True) / 127.0 + 1e-12
+    gyq = np.clip(np.round(gy / sg), -127, 127)
+    np.testing.assert_allclose(np.asarray(g), (gyq @ W.T) * sg * layer.gamma,
+                               rtol=1e-5, atol=1e-5)
+    # and the requantized backward tracks the exact one closely
+    np.testing.assert_allclose(np.asarray(g), (gy * layer.gamma) @ W.T,
+                               rtol=0.05, atol=0.05 * layer.gamma)
+
+
+def test_exported_lm_a8_consistency():
+    """a8=True exported LM on TiledBitplane: full forward == prefill ==
+    stepwise decode (per-row requantize keeps every row independent), and
+    the merged-QKV a8 path matches three separate a8 projections."""
+    from ternary_spgemm_tpu.formats import TiledBitplane
+    from ternary_spgemm_tpu.models import (
+        BitTransformerConfig, BitTransformerLM)
+    from ternary_spgemm_tpu.models.generate import (
+        ExportedTransformerLM, init_cache)
+
+    cfg = BitTransformerConfig(vocab=48, d_model=128, n_heads=2, d_ff=256,
+                               n_layers=2)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(5))
+    toks = jax.random.randint(jax.random.key(6), (2, 6), 0, cfg.vocab)
+    lm = ExportedTransformerLM.from_params(model, params, TiledBitplane,
+                                           a8=True)
+    lm_q = ExportedTransformerLM.from_params(model, params, TiledBitplane,
+                                             a8=True, fused_qkv=True)
+    want = jax.jit(lambda m, t: m(t))(lm, toks)
+    got_q = jax.jit(lambda m, t: m(t))(lm_q, toks)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    B, T0 = toks.shape
+    caches = init_cache(cfg, B, T0)
+    for t in range(T0):
+        logits, caches = lm.decode_step(toks[:, t], caches, jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(want[:, t]),
+                                   rtol=2e-4, atol=2e-4)
+    pre, _ = lm.prefill(toks, init_cache(cfg, B, T0))
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
