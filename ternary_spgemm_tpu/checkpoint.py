@@ -120,7 +120,7 @@ def _linear_record(lin, prefix: str, arrays: dict) -> dict:
            "fmt_t": (None if lin.fmt_t is None else
                      _fmt_record(lin.fmt_t, f"{prefix}.fmt_t", arrays)),
            "gamma": float(lin.gamma), "kernel": lin.kernel,
-           "has_alpha": lin.alpha is not None}
+           "has_alpha": lin.alpha is not None, "a8": bool(lin.a8)}
     arrays[f"{prefix}.bias"] = np.asarray(lin.bias)
     if lin.alpha is not None:
         arrays[f"{prefix}.alpha"] = np.asarray(lin.alpha)
@@ -135,7 +135,7 @@ def _linear_restore(hdr: dict, prefix: str, data):
          _fmt_restore(hdr["fmt_t"], f"{prefix}.fmt_t", data)),
         hdr["gamma"], data[f"{prefix}.bias"],
         data[f"{prefix}.alpha"] if hdr["has_alpha"] else None,
-        kernel=hdr["kernel"])
+        kernel=hdr["kernel"], a8=hdr.get("a8", False))
 
 
 def save_lm_bundle(path: str, lm) -> None:

@@ -236,9 +236,18 @@ def _zero_cotangent(tree):
 
 
 def _requantize_a8(x):
-    """Per-row absmax int8 requantize -> (xq f32-integer-valued, scale)."""
-    s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0 + 1e-12
-    return jnp.clip(jnp.round(x / s), -127.0, 127.0), s
+    """Per-row absmax int8 requantize -> (xq f32-integer-valued, scale).
+
+    Delegates to :func:`ops.fused_ffn.requantize_rows` so the a8 linear /
+    merged-QKV paths and the fused-FFN block kernel share ONE formula
+    (``scale = (rowmax + eps) / 127``) — an a8 block's unfused fallback is
+    then bit-identical to its fused path, including at .5 rounding
+    boundaries. The clip only guards the all-zero-row corner (where eps
+    dominates); ``|round(127*x/(rowmax+eps))| <= 127`` holds otherwise."""
+    from ternary_spgemm_tpu.ops.fused_ffn import requantize_rows
+
+    xq, s = requantize_rows(x)
+    return jnp.clip(xq, -127.0, 127.0), s
 
 
 def _default_a8_kernel(fmt) -> Optional[str]:

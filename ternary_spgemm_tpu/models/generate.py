@@ -248,7 +248,7 @@ def _fused_hooks(block, rows: int, bt):
     merged-QKV container when present. ``bt(z)`` gives the (B, T) to
     restore on the 3-D activations."""
     ffn = qkv = None
-    if block.fused_ffn and block._fused_ffn_applicable(rows):
+    if block.fused_ffn and block._fused_ffn_applicable():
         def ffn(h, b_=block):
             B, T = bt(h)
             return b_._ffn(h.reshape(rows, -1)).reshape(B, T, -1)

@@ -380,12 +380,12 @@ class ExportedTransformerBlock:
                 "scale": jnp.asarray(np.concatenate(scales)),
                 "bias": jnp.asarray(np.concatenate(biases))}
 
-    def _fused_ffn_applicable(self, rows: int = 0) -> bool:
+    def _fused_ffn_applicable(self) -> bool:
         """The fused SwiGLU block kernel's contract (``ops/fused_ffn.py``):
         TiledBitplane containers, biasless projections (decided at
         construction on concrete arrays), single-tile output width. Row
-        counts above the kernel's serving-M limit are handled by CHUNKING
-        (:meth:`_ffn`), so ``rows`` no longer gates applicability — the
+        count does NOT gate applicability — counts above the kernel's
+        serving-M limit are handled by CHUNKING (:meth:`_ffn`), so the
         fused path's A8 numerics apply at every batch size, keeping the
         full forward, prefill, and stepwise decode identical."""
         from ternary_spgemm_tpu.formats import TiledBitplane

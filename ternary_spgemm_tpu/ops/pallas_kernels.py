@@ -35,6 +35,7 @@ five), and run in interpreter mode automatically when no TPU is present.
 
 from __future__ import annotations
 
+import contextvars
 import functools
 
 import jax
@@ -1048,8 +1049,10 @@ def _sub_tile_n(TN: int, cap: int = 2048) -> int:
 #: 31.4 us at L=8 and 2.65 vs 3.26 us/layer deep-stack marginal
 #: (docs/perf.md §16, chain_amortized.json). Set via :func:`stack_mode`
 #: around model-serving traces; a TRACE-time flag (baked into the compiled
-#: program), not a runtime switch.
-_STACK_MODE = False
+#: program), not a runtime switch. A ContextVar so concurrent traces in
+#: different threads/tasks cannot race on the flag.
+_STACK_MODE = contextvars.ContextVar("ternary_spgemm_stack_mode",
+                                     default=False)
 
 
 class stack_mode:
@@ -1057,20 +1060,23 @@ class stack_mode:
     tile rule (full-width serving tiles — docs/perf.md §16). Used by the
     exported model stacks (``models/exported.py``, ``models/generate.py``)
     around their layer loops; the isolated-call default stays the §15
-    2-step split, which wins for a lone dispatch."""
+    2-step split, which wins for a lone dispatch.
+
+    Thread/trace-local (ContextVar). NOTE it is a *trace-time* flag and not
+    part of ``jax.jit``'s cache key: a function first traced outside
+    ``stack_mode`` and called again inside it hits the jit cache and reuses
+    the earlier tiling — retrace (new jit wrapper, or different static args)
+    when the mode must change for the same python callable."""
 
     def __init__(self, enabled: bool = True):
         self.enabled = enabled
 
     def __enter__(self):
-        global _STACK_MODE
-        self._saved = _STACK_MODE
-        _STACK_MODE = self.enabled
+        self._token = _STACK_MODE.set(self.enabled)
         return self
 
     def __exit__(self, *exc):
-        global _STACK_MODE
-        _STACK_MODE = self._saved
+        _STACK_MODE.reset(self._token)
         return False
 
 
@@ -1100,7 +1106,7 @@ def _bitplane_tiles(M: int, TN: int, steps: int = None):
     Mr = round_up(M, 32)
     if Mr <= 128:
         if steps == 1 and TN >= 2048 and (TN // 2) % 128 == 0 \
-                and not _STACK_MODE:
+                and not _STACK_MODE.get():
             return Mr, TN // 2, 2, True
         return Mr, TN, 1, True
     TNs = _sub_tile_n(TN, cap=4096)
@@ -1297,7 +1303,10 @@ def pallas_tiled_bitplane_i8_kernel(X, fmt: TiledBitplane, bias, alpha=None,
         fuse_split = stacked and gn == 1
     if tm is not None:
         TM = tm
-    if tns is not None and TN % tns == 0:
+    if tns is not None:
+        if TN % tns != 0:
+            raise ValueError(
+                f"tns={tns} must divide the storage tile width TN={TN}")
         TNs, split = tns, TN // tns
     Mp = round_up(M, TM)
     bp = _row_vec(bias, TN)[:, :gn * TN]
@@ -1464,7 +1473,10 @@ def pallas_tiled_nibblepair_i8_kernel(X, fmt: TiledNibblePair, bias,
     TM, TNs, split, stacked = _bitplane_tiles(M, TN, nb * gn)
     if tm is not None:
         TM = tm
-    if tns is not None and TN % tns == 0:
+    if tns is not None:
+        if TN % tns != 0:
+            raise ValueError(
+                f"tns={tns} must divide the storage tile width TN={TN}")
         TNs, split = tns, TN // tns
     Mp = round_up(M, TM)
     bp = _row_vec(bias, TN)[:, :gn * TN]

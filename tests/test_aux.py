@@ -180,6 +180,35 @@ def test_lm_serving_bundle_fused_paths(tmp_path):
         jax.grad(lambda z: jnp.sum(lm2.blocks[0].linears["wq"](z)))(x)
 
 
+def test_lm_serving_bundle_a8_roundtrip(tmp_path):
+    """The a8 flag must survive the bundle round-trip (round-4 ADVICE high):
+    an a8=True export restored with a8=False would feed raw float
+    activations into the pinned restricted-domain kernel and silently round
+    them — logits must match the pre-save model exactly."""
+    from ternary_spgemm_tpu.formats import TiledBitplane
+    from ternary_spgemm_tpu.models import (
+        BitTransformerConfig, BitTransformerLM)
+    from ternary_spgemm_tpu.models.generate import ExportedTransformerLM
+
+    cfg = BitTransformerConfig(vocab=32, d_model=128, n_heads=2, d_ff=256,
+                               n_layers=1)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(7))
+    lm = ExportedTransformerLM.from_params(
+        model, params, TiledBitplane, kernel="PallasTiledBitplane_i8",
+        a8=True, with_transpose=False)
+    assert lm.blocks[0].linears["wq"].a8
+    path = str(tmp_path / "bundle_a8")
+    checkpoint.save_lm_bundle(path, lm)
+    lm2 = checkpoint.load_lm_bundle(path)
+    assert lm2.blocks[0].linears["wq"].a8, "a8 flag lost in bundle round-trip"
+    assert lm2.blocks[0]._a8
+
+    toks = jax.random.randint(jax.random.key(8), (1, 4), 0, cfg.vocab)
+    np.testing.assert_allclose(np.asarray(lm(toks)), np.asarray(lm2(toks)),
+                               rtol=1e-6)
+
+
 def test_export_model_cli_roundtrip(tmp_path):
     """tools/export_model.py: train-state checkpoint -> bundle -> decode,
     matching the in-process generate() exactly."""

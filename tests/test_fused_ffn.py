@@ -198,8 +198,7 @@ def test_exported_block_fused_ffn():
     params = BitTransformerBlock(cfg).init(jax.random.key(0))
     blk = ExportedTransformerBlock.from_params(cfg, params, TiledBitplane,
                                                fused_ffn=True)
-    assert blk._fused_ffn_applicable(8)
-    assert blk._fused_ffn_applicable(256)   # big batches chunk, stay fused
+    assert blk._fused_ffn_applicable()   # row count does not gate: chunking
 
     h = jnp.asarray(generate_x(8, cfg.d_model, seed=4)) / 173.0
     got = np.asarray(jax.jit(lambda b, z: b._ffn(z))(blk, h))
@@ -265,4 +264,4 @@ def test_exported_block_fused_ffn_bias_falls_back():
     params["w_up"]["b"] = params["w_up"]["b"] + 1.0   # trained-in bias
     blk = ExportedTransformerBlock.from_params(cfg, params, TiledBitplane,
                                                fused_ffn=True)
-    assert not blk._fused_ffn_applicable(8)
+    assert not blk._fused_ffn_applicable()
