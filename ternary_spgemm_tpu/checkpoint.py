@@ -68,6 +68,96 @@ def restore_pytree(path: str, like):
     return jax.tree_util.tree_unflatten(treedef, restored)
 
 
+def _index_key(idx, shape) -> str:
+    """Canonical JSON key for a shard index (tuple of slices): resolved
+    ``[[start, stop], ...]`` per dimension, defaults filled from ``shape``."""
+    out = []
+    for d, s in enumerate(idx):
+        start = 0 if s.start is None else int(s.start)
+        stop = int(shape[d]) if s.stop is None else int(s.stop)
+        out.append([start, stop])
+    return json.dumps(out)
+
+
+def save_sharded_pytree(path: str, tree) -> None:
+    """Multi-host checkpoint save: every process writes ONLY the shards it
+    holds (``path.shard{process_index}.npz``); no process ever materializes
+    a full array. Works identically in single-process runs (one file).
+
+    The reference has no checkpointing at all (SURVEY.md §5); this is the
+    DCN-boundary half of the net-new persistence layer — the per-host shard
+    files plus :func:`restore_sharded_pytree` reassemble global arrays on a
+    (possibly different) multi-process mesh, matching shards to devices by
+    their *global index ranges*, not device ids, so the restore layout only
+    needs to cover the same index set.
+    """
+    leaves, _ = jax.tree_util.tree_flatten(tree)
+    pid = jax.process_index()
+    arrays: dict = {}
+    header = []
+    for i, leaf in enumerate(leaves):
+        leaf = jnp_asarray(leaf)
+        recs = []
+        seen = set()
+        for sh in leaf.addressable_shards:
+            key = _index_key(sh.index, leaf.shape)
+            if key in seen:        # replicated shards: store once
+                continue
+            seen.add(key)
+            arrays[f"l{i}s{len(recs)}"] = np.asarray(sh.data)
+            recs.append(key)
+        header.append({"shape": list(leaf.shape), "dtype": str(leaf.dtype),
+                       "indices": recs})
+    arrays["header"] = np.frombuffer(json.dumps(header).encode(),
+                                     dtype=np.uint8)
+    np.savez(f"{path}.shard{pid}.npz", **arrays)
+
+
+def restore_sharded_pytree(path: str, like):
+    """Restore a :func:`save_sharded_pytree` checkpoint; ``like`` supplies
+    tree structure and TARGET shardings (a pytree of jax.Arrays placed the
+    way the restored arrays should be). Each process reads only its own
+    shard file and feeds per-device buffers to
+    ``jax.make_array_from_single_device_arrays`` — the cross-process global
+    array is assembled without any collective."""
+    leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    pid = jax.process_index()
+    data = np.load(f"{path}.shard{pid}.npz")
+    header = json.loads(bytes(data["header"]).decode())
+    out = []
+    for i, ref in enumerate(leaves_like):
+        ref = jnp_asarray(ref)
+        shape = tuple(header[i]["shape"])
+        if shape != tuple(ref.shape):
+            raise ValueError(
+                f"leaf {i}: checkpoint shape {shape} != target {ref.shape}")
+        saved = {key: data[f"l{i}s{j}"]
+                 for j, key in enumerate(header[i]["indices"])}
+        sharding = ref.sharding
+        idx_map = sharding.addressable_devices_indices_map(shape)
+        bufs = []
+        for dev, idx in idx_map.items():
+            key = _index_key(idx, shape)
+            if key not in saved:
+                raise ValueError(
+                    f"leaf {i}: no saved shard covers index {key} needed by "
+                    f"device {dev} — restore layout must match the saved "
+                    "shard index set per process")
+            bufs.append(jax.device_put(saved[key], dev))
+        out.append(jax.make_array_from_single_device_arrays(
+            shape, sharding, bufs))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def jnp_asarray(x):
+    """jnp.asarray that leaves committed jax.Arrays (incl. multi-process
+    global arrays, which reject host transfer) untouched."""
+    if isinstance(x, jax.Array):
+        return x
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
 def save_container(path: str, fmt: TernaryFormat, *, gamma: float = 1.0,
                    bias=None, alpha=None) -> None:
     """Save an inference bundle: ternary container + scale + bias/alpha.

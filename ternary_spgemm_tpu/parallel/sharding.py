@@ -220,3 +220,41 @@ def shard_container(fmt: TernaryFormat, mesh: Mesh, leaf_specs) -> TernaryFormat
     placed = [jax.device_put(np.asarray(l), NamedSharding(mesh, s))
               for l, s in zip(leaves, leaf_specs)]
     return jax.tree_util.tree_unflatten(treedef, placed)
+
+
+def container_from_local_shard(fmt_local: TernaryFormat, mesh: Mesh,
+                               axis: str, *, dim: str, K: int,
+                               N: int) -> TernaryFormat:
+    """Assemble the GLOBAL sharded container from this process's locally
+    built shard — the multi-HOST construction path, where no process ever
+    holds the full weight matrix.
+
+    ``fmt_local = cls.from_dense(W[:, my_cols])`` (``dim="N"``) or
+    ``cls.from_dense(W[my_rows, :])`` (``dim="K"``); ``K``/``N`` are the
+    GLOBAL dims. Each leaf becomes a cross-process global array via
+    ``jax.make_array_from_process_local_data``. Requires the mesh axis to
+    enumerate processes contiguously in process order (the default
+    ``jax.devices()`` ordering) and every process to hold an equal shard.
+    Works unchanged in single-process runs (the local shard is the whole
+    matrix). Net-new vs the reference (single-node only, SURVEY.md §2.3).
+    """
+    import dataclasses
+    cls = type(fmt_local)
+    specs = (column_leaf_specs(cls, axis) if dim == "N"
+             else row_leaf_specs(cls, axis))
+    nproc = jax.process_count()
+    glob_leaves = []
+    for field, spec in zip(cls.ARRAY_FIELDS, specs):
+        local = np.asarray(getattr(fmt_local, field))
+        sharded_dim = next((d for d, s in enumerate(spec) if s == axis), None)
+        gshape = list(local.shape)
+        if sharded_dim is not None:
+            gshape[sharded_dim] *= nproc
+        sharding = NamedSharding(mesh, spec)
+        glob_leaves.append(jax.make_array_from_process_local_data(
+            sharding, local, tuple(gshape)))
+    static = {f.name: getattr(fmt_local, f.name)
+              for f in dataclasses.fields(cls)
+              if f.name not in cls.ARRAY_FIELDS}
+    static["K"], static["N"] = K, N
+    return cls(**dict(zip(cls.ARRAY_FIELDS, glob_leaves)), **static)

@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from ternary_spgemm_tpu import checkpoint, profiling
 from ternary_spgemm_tpu.formats import (
@@ -178,6 +179,37 @@ def test_lm_serving_bundle_fused_paths(tmp_path):
     x = jnp.ones((2, cfg.d_model), jnp.float32)
     with pytest.raises(ValueError, match="with_transpose=False"):
         jax.grad(lambda z: jnp.sum(lm2.blocks[0].linears["wq"](z)))(x)
+
+
+def test_sharded_pytree_roundtrip(tmp_path):
+    """save_sharded_pytree/restore_sharded_pytree on the 8-device mesh:
+    sharded, replicated, and partially-sharded leaves round-trip exactly,
+    preserving shardings (single-process path of the multi-host
+    checkpoint; the cross-process path is tests/test_multiprocess.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ternary_spgemm_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"model": 8})
+    tree = {
+        "w": jax.device_put(jnp.arange(64.0).reshape(8, 8),
+                            NamedSharding(mesh, P("model", None))),
+        "b": jax.device_put(jnp.arange(8.0), NamedSharding(mesh, P())),
+        "k": jax.device_put(jnp.arange(32, dtype=jnp.int32).reshape(4, 8),
+                            NamedSharding(mesh, P(None, "model"))),
+    }
+    path = str(tmp_path / "sharded")
+    checkpoint.save_sharded_pytree(path, tree)
+    restored = checkpoint.restore_sharded_pytree(path, tree)
+    for k in tree:
+        np.testing.assert_array_equal(np.asarray(tree[k]),
+                                      np.asarray(restored[k]))
+        assert restored[k].sharding == tree[k].sharding
+    # shape mismatch is a loud error, not silent corruption
+    bad = dict(tree, w=jax.device_put(jnp.zeros((16, 8)),
+                                      NamedSharding(mesh, P("model", None))))
+    with pytest.raises(ValueError, match="checkpoint shape"):
+        checkpoint.restore_sharded_pytree(path, bad)
 
 
 def test_lm_serving_bundle_a8_roundtrip(tmp_path):
