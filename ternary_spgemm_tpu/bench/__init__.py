@@ -19,11 +19,12 @@ from ternary_spgemm_tpu.bench.instrument import (
     measure_hbm_bandwidth,
     roofline_fraction,
 )
+from ternary_spgemm_tpu.bench.stacked import measure_stacked_marginal
 from ternary_spgemm_tpu.bench.timing import TIMERS, TimingResult, time_device_loop, time_wall
 
 __all__ = [
     "BenchConfig", "KernelResult", "run_config", "to_reference_json", "dump_json",
     "Instrumentation", "instrument", "advertised_hbm_bandwidth",
-    "measure_hbm_bandwidth", "roofline_fraction",
+    "measure_hbm_bandwidth", "roofline_fraction", "measure_stacked_marginal",
     "TIMERS", "TimingResult", "time_device_loop", "time_wall",
 ]

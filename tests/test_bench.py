@@ -99,3 +99,58 @@ def test_own_bytes_accounting():
     assert reg["PallasTiledBitplane_x8"].x_bytes == 1.0
     assert reg["DenseMXU_bf16"].x_bytes == 2.0
     assert reg["BaseTCSC"].x_bytes == 4.0
+
+
+def test_stacked_marginal_protocol():
+    """measure_stacked_marginal (bench/stacked.py): chained full-width
+    stacks at two depths, marginal = pairwise slope; schema carries spread,
+    depths, and the own-bytes roofline fraction (the deployment-regime
+    metric bench.py emits as stacked_* — round-4 VERDICT weak #1)."""
+    from ternary_spgemm_tpu.bench import measure_stacked_marginal
+
+    r = measure_stacked_marginal(8, 128, 256, 4, depths=(1, 2), repeats=1)
+    assert r["stacked_marginal_seconds"] > 0
+    assert r["stacked_depths"] == [1, 2]
+    assert r["stacked_kernel"] == "PallasTiledBitplane_i8"
+    assert 0 <= r["stacked_roofline_fraction"]
+    assert set(r["stacked_rows"]) == {"1", "2"}
+
+
+def test_trace_validation_parser(tmp_path):
+    """tools/trace_validation.py parse_perfetto: device-process filtering,
+    XLA Modules vs XLA Ops thread split, host events ignored."""
+    import gzip
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from tools.trace_validation import parse_perfetto
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    os.makedirs(d)
+    events = [
+        {"ph": "M", "pid": 1, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 1, "tid": 2, "name": "thread_name",
+         "args": {"name": "XLA Modules"}},
+        {"ph": "M", "pid": 1, "tid": 3, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 9, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "M", "pid": 9, "tid": 1, "name": "thread_name",
+         "args": {"name": "python"}},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "jit_f(123)", "ts": 0,
+         "dur": 5.5},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "jit_f(123)", "ts": 10,
+         "dur": 5.7},
+        {"ph": "X", "pid": 1, "tid": 3, "name": "fusion", "ts": 0,
+         "dur": 5.0},
+        {"ph": "X", "pid": 9, "tid": 1, "name": "host_noise", "ts": 0,
+         "dur": 99.0},
+    ]
+    with gzip.open(d / "perfetto_trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    parsed = parse_perfetto(str(tmp_path))
+    assert parsed["modules"] == {"jit_f(123)": [5.5, 5.7]}
+    assert parsed["ops"] == {"fusion": [5.0]}
+    assert "host_noise" not in parsed["modules"]
