@@ -241,8 +241,11 @@ def save_lm_bundle(path: str, lm) -> None:
     """
     import dataclasses
     cfg = lm.cfg
-    arrays: dict = {"embed": np.asarray(lm.embed),
-                    "norm_out": np.asarray(lm.norm_out)}
+    emb = np.asarray(lm.embed)
+    embed_dtype = str(emb.dtype)
+    if embed_dtype not in ("float32", "float64", "float16"):
+        emb = emb.view(np.uint16)   # bf16 head (ml_dtypes): store raw bits
+    arrays: dict = {"embed": emb, "norm_out": np.asarray(lm.norm_out)}
     blocks_hdr = []
     for i, blk in enumerate(lm.blocks):
         bh = {"linears": {}, "fused_ffn": bool(blk.fused_ffn),
@@ -262,7 +265,7 @@ def save_lm_bundle(path: str, lm) -> None:
                          for e, ex in enumerate(blk.moe.experts)]
         blocks_hdr.append(bh)
     header = {"version": 1, "cfg": dataclasses.asdict(cfg),
-              "blocks": blocks_hdr}
+              "embed_dtype": embed_dtype, "blocks": blocks_hdr}
     arrays["header"] = np.frombuffer(json.dumps(header).encode(),
                                      dtype=np.uint8)
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
@@ -307,7 +310,15 @@ def load_lm_bundle(path: str):
             cfg, linears, data[f"b{i}.norm_attn"], data[f"b{i}.norm_ffn"],
             moe, fused_ffn=bh.get("fused_ffn", False), qkv=qkv,
             kernel=bh.get("kernel")))
-    return ExportedTransformerLM(cfg, blocks, data["embed"], data["norm_out"])
+    embed = data["embed"]
+    head_dtype = None
+    edt = header.get("embed_dtype", "float32")
+    if edt not in ("float32", "float64", "float16"):
+        import jax.numpy as jnp
+        head_dtype = jnp.dtype(edt)      # ml_dtypes dtype; valid for .view
+        embed = embed.view(head_dtype)
+    return ExportedTransformerLM(cfg, blocks, embed, data["norm_out"],
+                                 head_dtype=head_dtype)
 
 
 def load_container(path: str):

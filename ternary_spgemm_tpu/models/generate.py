@@ -267,13 +267,20 @@ class ExportedTransformerLM:
     forward and the KV-cached decode step; every projection runs on the
     SpMM kernel registry."""
 
-    def __init__(self, cfg: BitTransformerConfig, blocks, embed, norm_out):
+    def __init__(self, cfg: BitTransformerConfig, blocks, embed, norm_out,
+                 head_dtype=None):
         from ternary_spgemm_tpu.models.transformer import (
             ExportedTransformerBlock)
         self.cfg = cfg
         self.blocks = list(blocks)
         assert all(isinstance(b, ExportedTransformerBlock) for b in self.blocks)
-        self.embed = jnp.asarray(embed, jnp.float32)
+        # head_dtype=bfloat16 stores the tied embedding at half width: the
+        # logits head streams the ENTIRE (vocab, d) matrix per decode step —
+        # measured 697 us of the 7B step at f32 (serving_tokens_bitnet7b.
+        # json), a pure HBM-bytes cost bf16 halves; the embedding lookup
+        # (one row) upcasts to f32 on read. Standard serving quantization;
+        # the blocks' math is unaffected.
+        self.embed = jnp.asarray(embed, head_dtype or jnp.float32)
         self.norm_out = jnp.asarray(norm_out, jnp.float32)
 
     @classmethod
@@ -281,7 +288,7 @@ class ExportedTransformerLM:
                     format_cls: Type[TernaryFormat], *,
                     kernel: Optional[str] = None, fused_ffn: bool = False,
                     fused_qkv: bool = False, with_transpose: bool = True,
-                    a8: bool = False, **fmt_kwargs):
+                    a8: bool = False, head_dtype=None, **fmt_kwargs):
         from ternary_spgemm_tpu.models.transformer import (
             ExportedTransformerBlock)
         blocks = [ExportedTransformerBlock.from_params(
@@ -289,22 +296,29 @@ class ExportedTransformerLM:
             fused_qkv=fused_qkv, with_transpose=with_transpose, a8=a8,
             **fmt_kwargs)
             for p in params["blocks"]]
-        return cls(model.cfg, blocks, params["embed"], params["norm_out"])
+        return cls(model.cfg, blocks, params["embed"], params["norm_out"],
+                   head_dtype=head_dtype)
+
+    def _head(self, x):
+        """Tied-embedding logits head; bf16-stored embeddings run one MXU
+        pass with f32 accumulation (halves the per-step head bytes)."""
+        return jnp.einsum("btd,vd->btv", x.astype(self.embed.dtype),
+                          self.embed, preferred_element_type=jnp.float32)
 
     def __call__(self, tokens):
         """Full causal forward: ``tokens (B, T) -> logits (B, T, vocab)``."""
-        x = self.embed[tokens]
+        x = self.embed[tokens].astype(jnp.float32)
         for block in self.blocks:
             x = block(x)
         x = rms_norm(x, self.norm_out)
-        return jnp.einsum("btd,vd->btv", x, self.embed)
+        return self._head(x)
 
     def prefill(self, tokens, caches):
         """Prompt prefill: ``tokens (B, T0) -> (logits, caches')``."""
         from ternary_spgemm_tpu.ops import stack_mode
 
         B, T = tokens.shape
-        x = self.embed[tokens]
+        x = self.embed[tokens].astype(jnp.float32)
         new_caches = []
         with stack_mode():
             for block, cache in zip(self.blocks, caches):
@@ -318,14 +332,14 @@ class ExportedTransformerLM:
                                           x, cache, ffn=ffn, qkv=qkv)
                 new_caches.append(cache)
         x = rms_norm(x, self.norm_out)
-        return jnp.einsum("btd,vd->btv", x, self.embed), new_caches
+        return self._head(x), new_caches
 
     def decode_step(self, tokens, caches, pos):
         """``tokens (B,) -> (logits (B, vocab), caches')`` via the caches."""
         from ternary_spgemm_tpu.ops import stack_mode
 
         B = tokens.shape[0]
-        x = self.embed[tokens][:, None, :]
+        x = self.embed[tokens][:, None, :].astype(jnp.float32)
         new_caches = []
         with stack_mode():
             for block, cache in zip(self.blocks, caches):
@@ -339,7 +353,7 @@ class ExportedTransformerLM:
                                          x, cache, pos, ffn=ffn, qkv=qkv)
                 new_caches.append(cache)
         x = rms_norm(x, self.norm_out)
-        return jnp.einsum("btd,vd->btv", x, self.embed)[:, 0], new_caches
+        return self._head(x)[:, 0], new_caches
 
 
 def _unflatten_lm(aux, children):
@@ -368,40 +382,61 @@ def generate(lm, prompt, n_new: int, *, params=None,
     static cache shapes). ``prefill=False`` keeps the pure step-by-step
     path. Returns ``(B, T0 + n_new)`` tokens.
     """
+    # The model/params pytree flows through jit as an ARGUMENT (``tree``
+    # below), never a closure capture: a captured ExportedTransformerLM's
+    # containers inline as HLO literal constants in the scan body — 2.2 GB
+    # of literals at BitNet-7B, shipped with every (remote) compile and
+    # keying the compile cache on the weight values (docs/perf.md §10).
     if isinstance(lm, BitTransformerLM):
         cfg = lm.cfg
-        step = lambda t, c, p: lm_decode_step(lm, params, t, c, p)
-        fill = lambda t, c: lm_prefill(lm, params, t, c)
+        make_step = lambda tr: (lambda t, c, p: lm_decode_step(lm, tr, t, c, p))
+        make_fill = lambda tr: (lambda t, c: lm_prefill(lm, tr, t, c))
+        tree = params
     else:
-        cfg, step, fill = lm.cfg, lm.decode_step, lm.prefill
+        cfg = lm.cfg
+        make_step = lambda tr: tr.decode_step
+        make_fill = lambda tr: tr.prefill
+        tree = lm
     B, T0 = prompt.shape
     max_t = max_t or (T0 + n_new)
     caches = init_cache(cfg, B, max_t, dtype=cache_dtype)
 
     if prefill:
-        logits_all, caches = fill(prompt, caches)
-        first = jnp.argmax(logits_all[:, T0 - 1], axis=-1).astype(prompt.dtype)
+        @jax.jit
+        def _run(tr, prompt, caches):
+            logits_all, caches = make_fill(tr)(prompt, caches)
+            first = jnp.argmax(logits_all[:, T0 - 1],
+                               axis=-1).astype(prompt.dtype)
 
-        def scan_fn(carry, t):
-            caches, cur = carry
-            logits, caches = step(cur, caches, t)
-            nxt = jnp.argmax(logits, axis=-1).astype(prompt.dtype)
-            return (caches, nxt), cur
+            def scan_fn(carry, t):
+                caches, cur = carry
+                logits, caches = make_step(tr)(cur, caches, t)
+                nxt = jnp.argmax(logits, axis=-1).astype(prompt.dtype)
+                return (caches, nxt), cur
 
-        _, gen = jax.lax.scan(scan_fn, (caches, first),
-                              jnp.arange(T0, T0 + n_new))
+            _, gen = jax.lax.scan(scan_fn, (caches, first),
+                                  jnp.arange(T0, T0 + n_new))
+            return gen
+
+        gen = _run(tree, prompt, caches)
         return jnp.concatenate([prompt, gen.T.astype(prompt.dtype)], axis=1)
 
-    def scan_fn(carry, t):
-        caches, cur = carry
-        # feed the prompt token at position t while t < T0, else the
-        # previously generated token; emit greedy argmax for position t+1
-        tok = jnp.where(t < T0, prompt[:, jnp.minimum(t, T0 - 1)], cur)
-        logits, caches = step(tok, caches, t)
-        nxt = jnp.argmax(logits, axis=-1).astype(prompt.dtype)
-        return (caches, nxt), nxt
+    @jax.jit
+    def _run_nofill(tr, prompt, caches):
+        def scan_fn(carry, t):
+            caches, cur = carry
+            # feed the prompt token at position t while t < T0, else the
+            # previously generated token; emit greedy argmax for position t+1
+            tok = jnp.where(t < T0, prompt[:, jnp.minimum(t, T0 - 1)], cur)
+            logits, caches = make_step(tr)(tok, caches, t)
+            nxt = jnp.argmax(logits, axis=-1).astype(prompt.dtype)
+            return (caches, nxt), nxt
 
-    cur0 = jnp.zeros((B,), prompt.dtype)
-    _, gen = jax.lax.scan(scan_fn, (caches, cur0), jnp.arange(T0 + n_new - 1))
+        cur0 = jnp.zeros((B,), prompt.dtype)
+        _, gen = jax.lax.scan(scan_fn, (caches, cur0),
+                              jnp.arange(T0 + n_new - 1))
+        return gen
+
+    gen = _run_nofill(tree, prompt, caches)
     # gen[t] predicts position t+1; positions T0..T0+n_new-1 are gen[T0-1:]
     return jnp.concatenate([prompt, gen[T0 - 1:].T.astype(prompt.dtype)], axis=1)

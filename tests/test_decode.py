@@ -229,3 +229,35 @@ def test_fused_paths_decode_matches_full_forward():
     pre_logits, _ = exported.prefill(toks, init_cache(CFG, B, T0))
     np.testing.assert_allclose(np.asarray(pre_logits), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_bf16_head():
+    """head_dtype=bfloat16 stores the tied embedding at half width (the
+    logits head streams the whole (vocab, d) matrix per decode step —
+    measured 697 us of the 7B step at f32). Logits must match the f32-head
+    model within bf16 operand rounding, and generate() must still work."""
+    model, params, toks = _setup(3)
+    lm32 = ExportedTransformerLM.from_params(model, params, DenseTernary)
+    lm16 = ExportedTransformerLM.from_params(model, params, DenseTernary,
+                                             head_dtype=jnp.bfloat16)
+    assert lm16.embed.dtype == jnp.bfloat16
+    want = np.asarray(lm32(toks))
+    got = np.asarray(lm16(toks))
+    assert got.dtype == np.float32          # f32 accumulation / output
+    # bf16 operands: ~2^-8 relative per factor, summed over d_model terms
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+    out = np.asarray(generate(lm16, toks[:, :4], 3))
+    assert out.shape == (2, 7)
+
+    # bundle round-trip preserves the bf16 head exactly (raw-bits storage)
+    import tempfile
+
+    from ternary_spgemm_tpu import checkpoint
+    with tempfile.TemporaryDirectory() as d:
+        checkpoint.save_lm_bundle(f"{d}/b16", lm16)
+        lm16b = checkpoint.load_lm_bundle(f"{d}/b16")
+    assert lm16b.embed.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(lm16.embed).view(np.uint16),
+        np.asarray(lm16b.embed).view(np.uint16))
+    np.testing.assert_allclose(np.asarray(lm16b(toks)), got, rtol=1e-6)
