@@ -1633,14 +1633,12 @@ def pallas_tiled_bitplane_bf16_kernel(X, fmt: TiledBitplane, bias, alpha=None):
 
 def _ell_deposit_kernel(cp_ref, cn_ref, ar_ref, pln_ref, ws_ref, b_ref,
                         al_ref, o_ref, acc_ref, wsum_ref, *, cap_p_max: int,
-                        tn: int, tm: int, has_alpha: bool):
+                        cap_n_max: int, tn: int, tm: int, has_alpha: bool,
+                        static_caps: bool = True):
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
-
-    cap_p = cp_ref[pl.program_id(2), pl.program_id(1)]
-    cap_n = cn_ref[pl.program_id(2), pl.program_id(1)]
 
     def _dep(base):
         # One slot = 8 plane rows (one offset per deposit word); base and
@@ -1651,8 +1649,21 @@ def _ell_deposit_kernel(cp_ref, cn_ref, ar_ref, pln_ref, ws_ref, b_ref,
         return body
 
     zero = jnp.zeros((8, tn), jnp.int32)
-    wp = jax.lax.fori_loop(0, cap_p, _dep(0), zero)
-    wn = jax.lax.fori_loop(0, cap_n, _dep(8 * cap_p_max), zero)
+    if static_caps:
+        # STATIC trip counts, unrolled: Mosaic schedules the slab loads and
+        # shift/or chains instead of a dynamic loop — measured 121.9 -> 112.5
+        # us at 32x16384x4096 s=16 and 18.6 -> 17.0 at the north star
+        # (deposit_study.json, round 5). Exact: phantom slots hold the
+        # sentinel offset 31, whose decoded row faces a zero activation
+        # column, so depositing ALL padded slots changes nothing.
+        wp = jax.lax.fori_loop(0, cap_p_max, _dep(0), zero, unroll=True)
+        wn = jax.lax.fori_loop(0, cap_n_max, _dep(8 * cap_p_max), zero,
+                               unroll=True)
+    else:
+        cap_p = cp_ref[pl.program_id(2), pl.program_id(1)]
+        cap_n = cn_ref[pl.program_id(2), pl.program_id(1)]
+        wp = jax.lax.fori_loop(0, cap_p, _dep(0), zero)
+        wn = jax.lax.fori_loop(0, cap_n, _dep(8 * cap_p_max), zero)
     w = _decode_bitplanes_merged(_words_to_byte_rows(wp),
                                  _words_to_byte_rows(wn))
     acc_ref[:] += jnp.dot(ar_ref[:], w, preferred_element_type=jnp.int32, precision=_IPREC)
@@ -1690,7 +1701,7 @@ def _deposit_restructure(p8, nsb: int):
               "of NEON gathers; epilogue comp_prelu.h:12-70",
     x_absmax=512, x_bytes=2.0)
 def pallas_ell_deposit_i8_kernel(X, fmt: TiledEllDeposit, bias, alpha=None,
-                                 *, tm: int = 256):
+                                 *, tm: int = 256, static_caps: bool = True):
     M = X.shape[0]
     TN = fmt.tile_n
     nsb, gn, R, _ = fmt.plane.shape
@@ -1727,7 +1738,9 @@ def pallas_ell_deposit_i8_kernel(X, fmt: TiledEllDeposit, bias, alpha=None,
     )
     out = pl.pallas_call(
         functools.partial(_ell_deposit_kernel, cap_p_max=fmt.cap_p_max,
-                          tn=TN, tm=TM, has_alpha=alpha is not None),
+                          cap_n_max=R // 8 - fmt.cap_p_max, tn=TN, tm=TM,
+                          has_alpha=alpha is not None,
+                          static_caps=static_caps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Mp, gn * TN), jnp.float32),
         compiler_params=_compiler_params(),
