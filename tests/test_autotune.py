@@ -113,3 +113,39 @@ def test_exported_layer_kernel_auto(tmp_path):
                               cache_path=str(tmp_path / "serve.json"))
     assert picks and all(v not in (None, "auto") for v in picks.values())
     assert (tmp_path / "serve.json").exists()
+
+
+def test_autotune_serving_flags(tmp_path):
+    """autotune_serving_flags: measures the fused_ffn x fused_qkv combos
+    on a decode-shaped probe, returns bools, memoizes in the shared JSON
+    cache; from_params(auto=True) applies the measured picks (round-4
+    VERDICT #6 — the flags were user-set guesses before)."""
+    import jax
+
+    from ternary_spgemm_tpu.models import (
+        BitTransformerConfig, BitTransformerLM)
+    from ternary_spgemm_tpu.models.generate import (
+        ExportedTransformerLM, autotune_serving_flags)
+
+    cfg = BitTransformerConfig(vocab=32, d_model=128, n_heads=2, d_ff=256,
+                               n_layers=1)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(0))
+    cache = str(tmp_path / "serve.json")
+    picks = autotune_serving_flags(cfg, params["blocks"][0], TiledBitplane,
+                                   cache_path=cache, verbose=True)
+    assert set(picks) == {"fused_ffn", "fused_qkv"}
+    assert all(isinstance(v, bool) for v in picks.values())
+    assert (tmp_path / "serve.json").exists()
+    # memo hit: second call returns identically without re-probing
+    assert autotune_serving_flags(cfg, params["blocks"][0], TiledBitplane,
+                                  cache_path=cache) == picks
+
+    lm = ExportedTransformerLM.from_params(
+        model, params, TiledBitplane, kernel="PallasTiledBitplane_i8",
+        a8=True, with_transpose=False, auto=True, cache_path=cache)
+    blk = lm.blocks[0]
+    assert blk.fused_ffn == picks["fused_ffn"]
+    assert (blk.qkv is not None) == picks["fused_qkv"]
+    toks = jax.random.randint(jax.random.key(1), (1, 4), 0, cfg.vocab)
+    assert np.all(np.isfinite(np.asarray(lm(toks))))

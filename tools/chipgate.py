@@ -32,6 +32,11 @@ def main(argv=None) -> int:
                    help="also gate the fused PReLU epilogue")
     p.add_argument("--output", default="bench_artifacts/chipgate.json")
     p.add_argument("--min-seconds", type=float, default=0.02)
+    p.add_argument("--repeats", type=int, default=2,
+                   help="independent slope estimates per kernel; the timing "
+                        "column carries seconds_spread/n_estimates so "
+                        "single-estimate wobble is visible (round-4 VERDICT "
+                        "weak #3)")
     args = p.parse_args(argv)
 
     import jax
@@ -40,7 +45,8 @@ def main(argv=None) -> int:
 
     cfg = BenchConfig(M=args.M, K=args.K, N=args.N, s=args.s,
                       prelu=args.prelu, correctness=True,
-                      min_seconds=args.min_seconds)
+                      min_seconds=args.min_seconds,
+                      repeats=max(1, args.repeats))
     results = run_config(cfg, verbose=True)
     record = to_reference_json(cfg, results)
     record["gate"] = {
