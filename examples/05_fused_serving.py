@@ -1,15 +1,23 @@
 #!/usr/bin/env python
 """Serving fast paths: the fused SwiGLU FFN kernel and the merged-QKV
-container on an exported transformer block.
+container on an exported transformer block — and how to let measurement
+pick them.
 
-Two block-level fusions (docs/perf.md §16, measured 9.1% end-to-end on the
-BitNet-7B decode block):
+Two block-level fusions (docs/perf.md §16, §19):
 
 * ``fused_ffn=True`` — the whole SwiGLU FFN (gate+up → silu·mul → per-row
   int8 requantize → down) runs as ONE Pallas kernel; hidden activations
   never leave VMEM. This is also the numerically-proper W1.58-A8 path.
+  Wins 8-20% at multi-row shapes (ffn_bench.json).
 * ``fused_qkv=True`` — q/k/v projections merged into one ternary container
   over ``hstack(Wq, Wk, Wv)``: one SpMM instead of three (bit-identical).
+
+The winners are SHAPE-DEPENDENT (at BitNet-3B the merged QKV plane pads
+9600 columns to three 4096 tiles and turning both flags on is a measured
+6.7% regression — fused_block_decode_3b.json), so the deployment API
+measures instead of guessing: ``ExportedTransformerLM.from_params(...,
+auto=True)`` probes the combinations at the decode shape and applies the
+fastest (``models/generate.py::autotune_serving_flags``, JSON-cacheable).
 
 Run:  python examples/05_fused_serving.py [--platform tpu]
 """
@@ -64,4 +72,20 @@ print(f"fused-vs-plain max |delta| = {np.abs(y_fast - y_plain).max():.4f} "
       "(the fused FFN applies the per-row A8 requantize — the deployed "
       "numeric regime — where the plain _i8 path rounds raw activations)")
 assert np.all(np.isfinite(y_fast))
+
+# --- measured flag selection on a whole LM export ---------------------
+from ternary_spgemm_tpu.models import BitTransformerLM  # noqa: E402
+from ternary_spgemm_tpu.models.generate import (  # noqa: E402
+    ExportedTransformerLM)
+
+lm_model = BitTransformerLM(cfg)
+lm_params = lm_model.init(jax.random.key(2))
+lm = ExportedTransformerLM.from_params(
+    lm_model, lm_params, TiledBitplane, kernel="PallasTiledBitplane_i8",
+    a8=True, with_transpose=False, auto=True)   # <- flags by measurement
+blk = lm.blocks[0]
+print(f"auto-measured flags: fused_ffn={blk.fused_ffn} "
+      f"fused_qkv={blk.qkv is not None}")
+toks = jax.random.randint(jax.random.key(3), (1, 4), 0, cfg.vocab)
+assert np.all(np.isfinite(np.asarray(lm(toks))))
 print("OK")

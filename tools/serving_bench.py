@@ -50,9 +50,10 @@ PRESETS = {
 
 
 def build_serving_lm(cfg, *, s: int = 2, seed: int = 0, head_dtype=None,
+                     fused_ffn: bool = True, fused_qkv: bool = True,
                      verbose=print):
-    """A serving-export LM with every fast path on, weights straight from
-    the ternary generator (no QAT param tree, no transposes)."""
+    """A serving-export LM with the chosen fast paths, weights straight
+    from the ternary generator (no QAT param tree, no transposes)."""
     import jax
     import jax.numpy as jnp
 
@@ -86,14 +87,16 @@ def build_serving_lm(cfg, *, s: int = 2, seed: int = 0, head_dtype=None,
             "w_up": lin(gen(d, ff, s, seed=sd + 6), ff),
             "w_down": lin(gen(ff, d, s, seed=sd + 7), d),
         }
-        qkv = {"fmt": jax.tree_util.tree_map(
-                   jnp.asarray,
-                   TiledBitplane.from_dense(np.hstack([Wq, Wk, Wv]))),
-               "scale": jnp.full((3 * d,), gamma, jnp.float32),
-               "bias": jnp.zeros((3 * d,), jnp.float32)}
+        qkv = None
+        if fused_qkv:
+            qkv = {"fmt": jax.tree_util.tree_map(
+                       jnp.asarray,
+                       TiledBitplane.from_dense(np.hstack([Wq, Wk, Wv]))),
+                   "scale": jnp.full((3 * d,), gamma, jnp.float32),
+                   "bias": jnp.zeros((3 * d,), jnp.float32)}
         blocks.append(ExportedTransformerBlock(
             cfg, linears, np.ones(d, np.float32), np.ones(d, np.float32),
-            fused_ffn=True, qkv=qkv))
+            fused_ffn=fused_ffn, qkv=qkv))
         if li == 0 or (li + 1) % 8 == 0:
             verbose(f"built block {li + 1}/{cfg.n_layers} "
                     f"({time.time() - t0:.0f}s)")
@@ -114,6 +117,15 @@ def main(argv=None) -> int:
                    help="logits-head embedding storage: bf16 halves the "
                         "per-step head bytes (the head streams the whole "
                         "(vocab, d) matrix every decode step)")
+    p.add_argument("--fast-paths", default="both",
+                   choices=["both", "qkv", "ffn", "none"],
+                   help="serving fast paths to build (the MEASURED winner "
+                        "at the decode shape is qkv — fused_block_decode"
+                        "*.json; 'both' kept as the prior default)")
+    p.add_argument("--trace", action="store_true",
+                   help="after timing, capture a device trace of one "
+                        "decode step and record the top ops by device "
+                        "time (attributes the glue)")
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
 
@@ -140,7 +152,10 @@ def main(argv=None) -> int:
     np.array(jax.device_put(np.zeros(8, np.float32)))  # warm transfer path
     t0 = time.time()
     head_dtype = jnp.bfloat16 if args.head_dtype == "bf16" else None
-    lm = build_serving_lm(cfg, s=args.s, head_dtype=head_dtype)
+    lm = build_serving_lm(
+        cfg, s=args.s, head_dtype=head_dtype,
+        fused_ffn=args.fast_paths in ("both", "ffn"),
+        fused_qkv=args.fast_paths in ("both", "qkv"))
     build_s = time.time() - t0
     print(f"build: {build_s:.0f}s", flush=True)
 
@@ -240,7 +255,9 @@ def main(argv=None) -> int:
         "preset": args.preset, "config": shape, "s": args.s,
         "cache_dtype": args.cache_dtype, "head_dtype": args.head_dtype,
         "build_seconds": round(build_s, 1),
-        "fast_paths": {"fused_ffn": True, "fused_qkv": True, "a8": True},
+        "fast_paths": {"fused_ffn": args.fast_paths in ("both", "ffn"),
+                       "fused_qkv": args.fast_paths in ("both", "qkv"),
+                       "a8": True},
         "prefill": {"seconds": r_fill.seconds,
                     "spread": r_fill.seconds_spread,
                     "tokens_per_s": T0 / r_fill.seconds,
@@ -262,6 +279,20 @@ def main(argv=None) -> int:
             "glue_fraction": round(glue_us / step_us, 4),
         },
     }
+    if args.trace:
+        # device-trace attribution of ONE decode step: where the per-step
+        # time goes below the block level (top ops by total device time;
+        # remember the tracer itself costs ~1.2 us/op, trace_validation.json)
+        from tools.trace_validation import traced_device_us
+        tr = traced_device_us(step_fn, (dummy, lm, first, caches_f),
+                              runs=30, top=40)
+        ops = {k: {"median_us": v["median_us"], "count": v["count"],
+                   "total_us": round(v["median_us"] * v["count"] / 30, 2)}
+               for k, v in tr["ops_us"].items()}
+        out["trace"] = {"module_us": tr.get("device_us"),
+                        "n_events": tr.get("n_events"), "top_ops": ops}
+        print("trace module device us:", tr.get("device_us"), flush=True)
+
     tag = "" if args.head_dtype == "f32" else f"_head{args.head_dtype}"
     path = args.output or os.path.join(
         os.path.dirname(__file__), "..", "bench_artifacts",

@@ -76,7 +76,8 @@ def parse_perfetto(log_dir: str) -> dict:
     return {"modules": modules, "ops": ops}
 
 
-def traced_device_us(fn, args, *, runs: int = TRACE_RUNS) -> dict:
+def traced_device_us(fn, args, *, runs: int = TRACE_RUNS,
+                     top: int = 8) -> dict:
     """Trace ``runs`` dispatches of jitted ``fn(*args)``; return the median
     per-invocation device-module duration (us) + per-op breakdown."""
     import jax
@@ -100,8 +101,9 @@ def traced_device_us(fn, args, *, runs: int = TRACE_RUNS) -> dict:
     name, durs = max(parsed["modules"].items(), key=lambda kv: len(kv[1]))
     durs = np.asarray(sorted(durs))
     ops_med = {k: {"median_us": float(np.median(v)), "count": len(v)}
-               for k, v in sorted(parsed["ops"].items(),
-                                  key=lambda kv: -np.median(kv[1]))[:8]}
+               for k, v in sorted(
+                   parsed["ops"].items(),
+                   key=lambda kv: -np.median(kv[1]) * len(kv[1]))[:top]}
     return {"module": name, "n_events": int(len(durs)),
             "device_us": float(np.median(durs)),
             "device_us_p10": float(np.percentile(durs, 10)),
