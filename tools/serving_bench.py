@@ -122,6 +122,10 @@ def main(argv=None) -> int:
                    help="serving fast paths to build (the MEASURED winner "
                         "at the decode shape is qkv — fused_block_decode"
                         "*.json; 'both' kept as the prior default)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="decode batch size B: weights dominate the step, "
+                        "so B<=32 rides the same padded MXU tile and "
+                        "multiplies aggregate tokens/s nearly for free")
     p.add_argument("--trace", action="store_true",
                    help="after timing, capture a device trace of one "
                         "decode step and record the top ops by device "
@@ -146,7 +150,7 @@ def main(argv=None) -> int:
         n_heads=shape["n_heads"], d_ff=shape["d_ff"],
         n_layers=shape["n_layers"])
     T0, n_new = shape["T0"], shape["n_new"]
-    B, max_t = 1, T0 + n_new
+    B, max_t = args.batch, T0 + n_new
     cache_dtype = jnp.int8 if args.cache_dtype == "int8" else jnp.float32
 
     np.array(jax.device_put(np.zeros(8, np.float32)))  # warm transfer path
@@ -258,13 +262,16 @@ def main(argv=None) -> int:
         "fast_paths": {"fused_ffn": args.fast_paths in ("both", "ffn"),
                        "fused_qkv": args.fast_paths in ("both", "qkv"),
                        "a8": True},
+        "batch": B,
         "prefill": {"seconds": r_fill.seconds,
                     "spread": r_fill.seconds_spread,
                     "tokens_per_s": T0 / r_fill.seconds,
+                    "aggregate_tokens_per_s": B * T0 / r_fill.seconds,
                     "n_estimates": r_fill.n_estimates},
         "decode": {"seconds_per_token": step_us / 1e6,
                    "spread": r_dec.seconds_spread,
                    "tokens_per_s": 1e6 / step_us,
+                   "aggregate_tokens_per_s": B * 1e6 / step_us,
                    "scan_length": n_new,
                    "n_estimates": r_dec.n_estimates},
         "decode_single_dispatch": {"seconds": r_step.seconds,
@@ -294,6 +301,8 @@ def main(argv=None) -> int:
         print("trace module device us:", tr.get("device_us"), flush=True)
 
     tag = "" if args.head_dtype == "f32" else f"_head{args.head_dtype}"
+    if args.batch > 1:
+        tag += f"_b{args.batch}"
     path = args.output or os.path.join(
         os.path.dirname(__file__), "..", "bench_artifacts",
         f"serving_tokens_{args.preset}{tag}.json")

@@ -111,6 +111,11 @@ def main(argv=None) -> int:
                         "readback; the tunnel makes GB-scale readbacks "
                         "impractical)")
     p.add_argument("--min-seconds", type=float, default=0.05)
+    p.add_argument("--repeats", type=int, default=1,
+                   help="independent calibrated slope estimates per kernel "
+                        "per config (rows carry seconds_spread/n_estimates; "
+                        "round-4 VERDICT weak #3 — single-estimate us-scale "
+                        "rows wobble up to 20%%)")
     p.add_argument("--platform", default=None)
     p.add_argument("--limit", type=int, default=None,
                    help="stop after this many configs (smoke runs)")
@@ -150,7 +155,8 @@ def main(argv=None) -> int:
         cfg = BenchConfig(M=m, K=k, N=n, s=s, kernels=run_kernels,
                           correctness=(args.correctness
                                        and m * n <= args.correctness_limit),
-                          prelu=args.prelu, min_seconds=args.min_seconds)
+                          prelu=args.prelu, min_seconds=args.min_seconds,
+                          repeats=max(1, args.repeats))
         print(f"[{i+1}/{len(grid)}] M={m} K={k} N={n} s={s} "
               f"(elapsed {time.time()-t_start:.0f}s)", flush=True)
         try:
