@@ -61,14 +61,16 @@ def init_cache(cfg: BitTransformerConfig, batch: int, max_t: int,
     scales outside (:func:`_cache_attn`), so the cache is never
     materialized at f32. The only approximation is the int8 rounding of
     cached rows (the W1.58-A8 regime's activation treatment applied to the
-    cache)."""
+    cache). With GQA (``cfg.n_kv_heads``) H = the KV-head count — the
+    cache shrinks by n_heads/n_kv_heads on top of the int8 4×."""
     hd = cfg.d_model // cfg.n_heads
+    H = cfg.kv_heads
     if jnp.dtype(dtype) == jnp.int8:
-        z = jnp.zeros((batch, cfg.n_heads, max_t, hd), jnp.int8)
-        s = jnp.zeros((batch, cfg.n_heads, max_t, 1), jnp.float32)
+        z = jnp.zeros((batch, H, max_t, hd), jnp.int8)
+        s = jnp.zeros((batch, H, max_t, 1), jnp.float32)
         return [{"k": z, "v": z, "k_scale": s, "v_scale": s}
                 for _ in range(cfg.n_layers)]
-    z = jnp.zeros((batch, cfg.n_heads, max_t, hd), jnp.float32)
+    z = jnp.zeros((batch, H, max_t, hd), jnp.float32)
     return [{"k": z, "v": z} for _ in range(cfg.n_layers)]
 
 
@@ -129,19 +131,30 @@ def _cache_attn(q, cache, T=None, hd_scale=1.0):
     return logits, combine
 
 
-def _cached_attend(n_heads: int, q, k_new, v_new, cache, pos):
-    """One-token attention against the cache; returns (out (B,1,d), cache')."""
+def _cached_attend(n_heads, q, k_new, v_new, cache, pos):
+    """One-token attention against the cache; returns (out (B,1,d), cache').
+
+    ``n_heads`` int or ``(n_q, n_kv)`` (GQA). The grouped form folds the
+    G = n_q/n_kv query heads of each KV head into ``_cache_attn``'s query
+    axis — the cache is read ONCE per kv head for all its queries (and the
+    batched dot gets G rows of MXU work instead of one)."""
+    from ternary_spgemm_tpu.models.transformer import _norm_heads
+    nq, nkv = _norm_heads(n_heads)
     B, _, d = q.shape
-    hd = d // n_heads
-    split = lambda z: z.reshape(B, 1, n_heads, hd).transpose(0, 2, 1, 3)
-    q, k_new, v_new = split(q), split(k_new), split(v_new)
+    hd = d // nq
+    G = nq // nkv
+    q = q.reshape(B, 1, nq, hd).transpose(0, 2, 1, 3)
+    kv = lambda z: z.reshape(B, 1, nkv, hd).transpose(0, 2, 1, 3)
+    k_new, v_new = kv(k_new), kv(v_new)
     q, k_new = _rotary_at(q, pos), _rotary_at(k_new, pos)
     cache = _cache_put(cache, k_new, v_new, pos)
-    logits, combine = _cache_attn(q, cache, hd_scale=hd ** -0.5)
+    qg = q.reshape(B, nkv, G, hd)            # query axis = the group
+    logits, combine = _cache_attn(qg, cache, hd_scale=hd ** -0.5)
     mask = jnp.arange(cache["k"].shape[2]) <= pos
     logits = jnp.where(mask[None, None, None, :], logits, -jnp.inf)
-    out = combine(jax.nn.softmax(logits, axis=-1))
-    return out.transpose(0, 2, 1, 3).reshape(B, 1, d), cache
+    out = combine(jax.nn.softmax(logits, axis=-1))   # (B, nkv, G, hd)
+    return out.reshape(B, nq, 1, hd).transpose(0, 2, 1, 3).reshape(B, 1, d), \
+        cache
 
 
 def _block_decode(n_heads: int, lin, norm_attn, norm_ffn, x, cache, pos,
@@ -164,24 +177,33 @@ def _block_decode(n_heads: int, lin, norm_attn, norm_ffn, x, cache, pos,
     return x, cache
 
 
-def _prefill_attend(n_heads: int, q, k, v, cache):
+def _prefill_attend(n_heads, q, k, v, cache):
     """Full-prompt causal attention that also fills the cache: the MXU-
     efficient prefill (one (B,T0,d) forward) instead of T0 sequential M=1
     decode steps. Math identical to ``transformer.causal_attend``; the
-    cache stores ROTATED keys (same convention as :func:`_cached_attend`)."""
+    cache stores ROTATED keys (same convention as :func:`_cached_attend`).
+    GQA folds each KV head's G query heads into the query axis (G·T rows
+    per kv head); the causal mask broadcasts per group."""
+    from ternary_spgemm_tpu.models.transformer import _norm_heads
+    nq, nkv = _norm_heads(n_heads)
     B, T, d = q.shape
-    hd = d // n_heads
-    split = lambda z: z.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3)
-    q, k, v = split(q), split(k), split(v)
+    hd = d // nq
+    G = nq // nkv
+    q = q.reshape(B, T, nq, hd).transpose(0, 2, 1, 3)
+    kv = lambda z: z.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+    k, v = kv(k), kv(v)
     from ternary_spgemm_tpu.models.transformer import rotary_embed
     q, k = rotary_embed(q), rotary_embed(k)
     # attention reads through the cache (int8 caches: scale-outside-dot,
     # same formulation as decode) so prefill ≡ stepwise decode exactly
     cache = _cache_put(cache, k, v, 0)
-    logits, combine = _cache_attn(q, cache, T=T, hd_scale=hd ** -0.5)
-    mask = jnp.tril(jnp.ones((T, T), bool))
-    logits = jnp.where(mask, logits, -jnp.inf)
-    out = combine(jax.nn.softmax(logits, axis=-1))
+    qg = q.reshape(B, nkv, G * T, hd)
+    logits, combine = _cache_attn(qg, cache, T=T, hd_scale=hd ** -0.5)
+    mask = jnp.tril(jnp.ones((T, T), bool))          # (q_pos, k_pos)
+    logits = logits.reshape(B, nkv, G, T, T)
+    logits = jnp.where(mask[None, None, None], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).reshape(B, nkv, G * T, T)
+    out = combine(probs).reshape(B, nq, T, hd)
     return out.transpose(0, 2, 1, 3).reshape(B, T, d), cache
 
 
@@ -218,7 +240,7 @@ def lm_prefill(model: BitTransformerLM, params, tokens, caches):
         if block.moe is not None:
             ffn = (lambda b_, p_: lambda h: b_.moe.apply(p_["moe"], h)[0])(
                 block, p)
-        x, cache = _block_prefill(model.cfg.n_heads, lin, p["norm_attn"],
+        x, cache = _block_prefill(model.cfg.head_tuple, lin, p["norm_attn"],
                                   p["norm_ffn"], x, cache, ffn=ffn)
         new_caches.append(cache)
     x = rms_norm(x, params["norm_out"])
@@ -236,7 +258,7 @@ def lm_decode_step(model: BitTransformerLM, params, tokens, caches, pos):
         if block.moe is not None:
             ffn = (lambda b_, p_: lambda h: b_.moe.apply(p_["moe"], h)[0])(
                 block, p)
-        x, cache = _block_decode(model.cfg.n_heads, lin, p["norm_attn"],
+        x, cache = _block_decode(model.cfg.head_tuple, lin, p["norm_attn"],
                                  p["norm_ffn"], x, cache, pos, ffn=ffn)
         new_caches.append(cache)
     x = rms_norm(x, params["norm_out"])
@@ -346,7 +368,7 @@ class ExportedTransformerLM:
                 ffn, qkv = _fused_hooks(block, B * T, lambda z: (B, T))
                 if block.moe is not None:
                     ffn = (lambda b_: lambda h: b_.moe(h))(block)
-                x, cache = _block_prefill(self.cfg.n_heads, lin,
+                x, cache = _block_prefill(self.cfg.head_tuple, lin,
                                           block.norm_attn, block.norm_ffn,
                                           x, cache, ffn=ffn, qkv=qkv)
                 new_caches.append(cache)
@@ -367,7 +389,7 @@ class ExportedTransformerLM:
                 ffn, qkv = _fused_hooks(block, B, lambda z: (B, 1))
                 if block.moe is not None:
                     ffn = (lambda b_: lambda h: b_.moe(h))(block)
-                x, cache = _block_decode(self.cfg.n_heads, lin,
+                x, cache = _block_decode(self.cfg.head_tuple, lin,
                                          block.norm_attn, block.norm_ffn,
                                          x, cache, pos, ffn=ffn, qkv=qkv)
                 new_caches.append(cache)

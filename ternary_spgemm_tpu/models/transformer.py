@@ -67,20 +67,37 @@ def rotary_embed(x, *, base: float = 10000.0):
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
 
 
-def causal_attend(n_heads: int, q, k, v):
+def _norm_heads(n_heads):
+    """``n_heads`` is an int (MHA) or ``(n_q_heads, n_kv_heads)`` (GQA —
+    query head i attends kv head ``i // (n_q // n_kv)``)."""
+    if isinstance(n_heads, int):
+        return n_heads, n_heads
+    nq, nkv = n_heads
+    return int(nq), int(nkv)
+
+
+def causal_attend(n_heads, q, k, v):
     """(B, T, d) multi-head causal attention with rotary q/k; the mask is a
-    compile-time tril constant (static T — no dynamic control flow under jit)."""
+    compile-time tril constant (static T — no dynamic control flow under
+    jit). ``n_heads`` may be ``(n_q, n_kv)`` for grouped-query attention
+    (k/v arrive at width ``n_kv * head_dim``); the grouped einsum keeps the
+    kv tensors un-repeated — each kv head serves its G query heads in one
+    batched dot (the layout that also makes the dot MXU-efficient)."""
     B, T, d = q.shape
-    hd = d // n_heads
-    split = lambda z: z.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3)
-    q, k, v = split(q), split(k), split(v)
+    nq, nkv = _norm_heads(n_heads)
+    hd = d // nq
+    G = nq // nkv
+    q = q.reshape(B, T, nq, hd).transpose(0, 2, 1, 3)
+    kv = lambda z: z.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+    k, v = kv(k), kv(v)
     q, k = rotary_embed(q), rotary_embed(k)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    q5 = q.reshape(B, nkv, G, T, hd)
+    logits = jnp.einsum("bngqd,bnkd->bngqk", q5, k,
                         preferred_element_type=jnp.float32) / (hd ** 0.5)
     mask = jnp.tril(jnp.ones((T, T), bool))
     logits = jnp.where(mask, logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)  # softmax in f32
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = jnp.einsum("bngqk,bnkd->bngqd", probs, v).reshape(B, nq, T, hd)
     return out.transpose(0, 2, 1, 3).reshape(B, T, d)
 
 
@@ -89,6 +106,11 @@ class BitTransformerConfig:
     vocab: int = 256
     d_model: int = 128
     n_heads: int = 4
+    #: grouped-query attention: number of shared K/V heads (0 = n_heads,
+    #: plain MHA). Shrinks the KV cache and the decode-attention bytes by
+    #: n_heads/n_kv_heads — the dominant serving memory lever at batch;
+    #: wk/wv project to n_kv_heads*head_dim.
+    n_kv_heads: int = 0
     d_ff: int = 384
     n_layers: int = 2
     # MoE FFN (expert parallelism): 0 = dense SwiGLU FFN, >0 = that many
@@ -113,6 +135,24 @@ class BitTransformerConfig:
             raise ValueError("d_model must divide into n_heads")
         if (self.d_model // self.n_heads) % 2:
             raise ValueError("head_dim must be even (rotary half-split)")
+        if self.n_kv_heads and self.n_heads % self.n_kv_heads:
+            raise ValueError("n_heads must divide into n_kv_heads (GQA "
+                             "groups are equal-size)")
+
+    @property
+    def kv_heads(self) -> int:
+        """Effective number of K/V heads (n_heads when MHA)."""
+        return self.n_kv_heads or self.n_heads
+
+    @property
+    def head_tuple(self):
+        """(n_q_heads, n_kv_heads) — the form the attention fns take."""
+        return (self.n_heads, self.kv_heads)
+
+    @property
+    def kv_width(self) -> int:
+        """wk/wv output width = n_kv_heads * head_dim."""
+        return self.kv_heads * (self.d_model // self.n_heads)
 
 
 class BitTransformerBlock:
@@ -128,10 +168,10 @@ class BitTransformerBlock:
 
     def __init__(self, cfg: BitTransformerConfig):
         self.cfg = cfg
-        d, ff = cfg.d_model, cfg.d_ff
+        d, ff, kvw = cfg.d_model, cfg.d_ff, cfg.kv_width
         self._layers = {
-            "wq": BitLinear(d, d), "wk": BitLinear(d, d),
-            "wv": BitLinear(d, d), "wo": BitLinear(d, d),
+            "wq": BitLinear(d, d), "wk": BitLinear(d, kvw),
+            "wv": BitLinear(d, kvw), "wo": BitLinear(d, d),
         }
         if cfg.moe_experts:
             from ternary_spgemm_tpu.models.moe import BitMoE, BitMoEConfig
@@ -176,7 +216,7 @@ class BitTransformerBlock:
         if x.dtype != cdtype:
             x = x.astype(cdtype)
         lin = lambda n, z: self._layers[n].apply(params[n], z)
-        attend = lambda q, k, v: causal_attend(self.cfg.n_heads, q, k, v)
+        attend = lambda q, k, v: causal_attend(self.cfg.head_tuple, q, k, v)
         h = rms_norm(x, params["norm_attn"])
         attn = lin("wo", attend(lin("wq", h), lin("wk", h), lin("wv", h)))
         x = x + attn
@@ -440,8 +480,8 @@ class ExportedTransformerBlock:
             from ternary_spgemm_tpu.models.exported import _requantize_a8
             from ternary_spgemm_tpu.ops import ternary_spgemm
 
-            d = self.cfg.d_model
-            z = jnp.zeros((3 * d,), jnp.float32)
+            d, kvw = self.cfg.d_model, self.cfg.kv_width
+            z = jnp.zeros((d + 2 * kvw,), jnp.float32)
             if self._a8:
                 from ternary_spgemm_tpu.models.exported import (
                     _default_a8_kernel)
@@ -457,7 +497,7 @@ class ExportedTransformerBlock:
                                      kernel=self.kernel)
                 out = out * self.qkv["scale"][None, :] \
                     + self.qkv["bias"][None, :]
-            return out[:, :d], out[:, d:2 * d], out[:, 2 * d:]
+            return out[:, :d], out[:, d:d + kvw], out[:, d + kvw:]
         return (self.linears["wq"](h), self.linears["wk"](h),
                 self.linears["wv"](h))
 
@@ -474,12 +514,12 @@ class ExportedTransformerBlock:
         B, T, d = x.shape
         flat = lambda n, z: self.linears[n](z.reshape(B * T, -1)).reshape(
             B, T, -1)
-        attend = lambda q, k, v: causal_attend(self.cfg.n_heads, q, k, v)
+        attend = lambda q, k, v: causal_attend(self.cfg.head_tuple, q, k, v)
         # a block is a multi-kernel program: trace with the measured
         # in-stack tile rule (docs/perf.md §16)
         with stack_mode():
             h = rms_norm(x, self.norm_attn)
-            q, kk, v = (z.reshape(B, T, d)
+            q, kk, v = (z.reshape(B, T, -1)
                         for z in self._qkv(h.reshape(B * T, d)))
             attn = flat("wo", attend(q, kk, v))
             x = x + attn

@@ -261,3 +261,74 @@ def test_bf16_head():
         np.asarray(lm16.embed).view(np.uint16),
         np.asarray(lm16b.embed).view(np.uint16))
     np.testing.assert_allclose(np.asarray(lm16b(toks)), got, rtol=1e-6)
+
+
+def test_gqa_decode_matches_full_forward():
+    """Grouped-query attention (n_kv_heads < n_heads): full causal forward
+    == prefill == stepwise decode, on both backends, with the KV cache
+    shrunk to the kv-head count. The grouped einsum must equal naive
+    repeat-kv attention exactly."""
+    cfg = BitTransformerConfig(vocab=48, d_model=64, n_heads=8,
+                               n_kv_heads=2, d_ff=64, n_layers=2)
+    assert cfg.kv_width == 16 and cfg.head_tuple == (8, 2)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(2))
+    assert params["blocks"][0]["wk"]["w"].shape == (64, 16)
+    toks = jax.random.randint(jax.random.key(3), (2, 9), 0, cfg.vocab)
+
+    want = model.apply(params, toks)
+    # stepwise decode
+    caches = init_cache(cfg, 2, 9)
+    assert caches[0]["k"].shape == (2, 2, 9, 8)     # H = kv_heads
+    for t in range(9):
+        logits, caches = lm_decode_step(model, params, toks[:, t], caches,
+                                        jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(want[:, t]),
+                                   rtol=2e-4, atol=2e-4)
+    # prefill
+    from ternary_spgemm_tpu.models.generate import lm_prefill
+    pre, _ = lm_prefill(model, params, toks, init_cache(cfg, 2, 9))
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # exported backend with merged QKV + int8 cache + generate()
+    from ternary_spgemm_tpu.formats import TiledBitplane
+    lm = ExportedTransformerLM.from_params(
+        model, params, TiledBitplane, kernel="PallasTiledBitplane_i8",
+        a8=True, fused_qkv=True, with_transpose=False)
+    assert lm.blocks[0].qkv["fmt"].N == 64 + 2 * 16
+    we = np.asarray(jax.jit(lambda m, t: m(t))(lm, toks))
+    # f32 cache: prefill must match the uncached forward tightly
+    pe, _ = jax.jit(lambda m, t, c: m.prefill(t, c))(
+        lm, toks, init_cache(cfg, 2, 12))
+    np.testing.assert_allclose(np.asarray(pe), we, rtol=2e-3, atol=2e-3)
+    # int8 cache: prefill == stepwise decode (same rounding both paths)
+    pi, ci = jax.jit(lambda m, t, c: m.prefill(t, c))(
+        lm, toks, init_cache(cfg, 2, 12, dtype=jnp.int8))
+    li, _ = jax.jit(lambda m, t, c: m.decode_step(t, c, jnp.int32(9)))(
+        lm, toks[:, 0], ci)
+    assert np.all(np.isfinite(np.asarray(pi)))
+    assert np.all(np.isfinite(np.asarray(li)))
+    out = np.asarray(generate(lm, toks[:, :4], 3, cache_dtype=jnp.int8))
+    assert out.shape == (2, 7)
+
+
+def test_gqa_grouped_equals_repeated_kv():
+    """The grouped attention einsum == naive repeat-kv MHA attention."""
+    from ternary_spgemm_tpu.models.transformer import causal_attend
+
+    B, T, d, nq, nkv = 2, 6, 32, 8, 2
+    hd = d // nq
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (B, T, d))
+    k = jax.random.normal(jax.random.key(1), (B, T, nkv * hd))
+    v = jax.random.normal(jax.random.key(2), (B, T, nkv * hd))
+    got = causal_attend((nq, nkv), q, k, v)
+    # naive: repeat each kv head G times and run MHA
+    G = nq // nkv
+    rep = lambda z: jnp.repeat(z.reshape(B, T, nkv, hd), G, axis=2
+                               ).reshape(B, T, d)
+    want = causal_attend(nq, q, rep(k), rep(v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

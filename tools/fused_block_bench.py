@@ -125,7 +125,7 @@ def main(argv=None) -> int:
                 lin = (lambda n, z:
                        bk.linears[n](z.reshape(B, -1))[:, None, :])
                 ffn, qkv = _fused_hooks(bk, B, lambda z: (B, 1))
-                y, _ = _block_decode(cfg.n_heads, lin, bk.norm_attn,
+                y, _ = _block_decode(cfg.head_tuple, lin, bk.norm_attn,
                                      bk.norm_ffn, xx, cc, jnp.int32(T),
                                      ffn=ffn, qkv=qkv)
             return y

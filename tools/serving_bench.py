@@ -65,7 +65,7 @@ def build_serving_lm(cfg, *, s: int = 2, seed: int = 0, head_dtype=None,
 
     gen = native.gen_ternary if native.native_available() else \
         (lambda K, N, s, seed: generate_ternary(K, N, s, seed=seed))
-    d, ff = cfg.d_model, cfg.d_ff
+    d, ff, kvw = cfg.d_model, cfg.d_ff, cfg.kv_width
     gamma = 0.03  # serving-realistic absmean scale; timing-irrelevant
 
     def lin(W, n_out):
@@ -78,10 +78,10 @@ def build_serving_lm(cfg, *, s: int = 2, seed: int = 0, head_dtype=None,
     for li in range(cfg.n_layers):
         sd = seed + 100 * li
         Wq = gen(d, d, s, seed=sd + 1)
-        Wk = gen(d, d, s, seed=sd + 2)
-        Wv = gen(d, d, s, seed=sd + 3)
+        Wk = gen(d, kvw, s, seed=sd + 2)
+        Wv = gen(d, kvw, s, seed=sd + 3)
         linears = {
-            "wq": lin(Wq, d), "wk": lin(Wk, d), "wv": lin(Wv, d),
+            "wq": lin(Wq, d), "wk": lin(Wk, kvw), "wv": lin(Wv, kvw),
             "wo": lin(gen(d, d, s, seed=sd + 4), d),
             "w_gate": lin(gen(d, ff, s, seed=sd + 5), ff),
             "w_up": lin(gen(d, ff, s, seed=sd + 6), ff),
@@ -89,11 +89,12 @@ def build_serving_lm(cfg, *, s: int = 2, seed: int = 0, head_dtype=None,
         }
         qkv = None
         if fused_qkv:
+            w3 = d + 2 * kvw
             qkv = {"fmt": jax.tree_util.tree_map(
                        jnp.asarray,
                        TiledBitplane.from_dense(np.hstack([Wq, Wk, Wv]))),
-                   "scale": jnp.full((3 * d,), gamma, jnp.float32),
-                   "bias": jnp.zeros((3 * d,), jnp.float32)}
+                   "scale": jnp.full((w3,), gamma, jnp.float32),
+                   "bias": jnp.zeros((w3,), jnp.float32)}
         blocks.append(ExportedTransformerBlock(
             cfg, linears, np.ones(d, np.float32), np.ones(d, np.float32),
             fused_ffn=fused_ffn, qkv=qkv))
@@ -122,6 +123,10 @@ def main(argv=None) -> int:
                    help="serving fast paths to build (the MEASURED winner "
                         "at the decode shape is qkv — fused_block_decode"
                         "*.json; 'both' kept as the prior default)")
+    p.add_argument("--kv-heads", type=int, default=0,
+                   help="grouped-query attention: number of shared KV heads "
+                        "(0 = n_heads, MHA). Shrinks KV cache + decode "
+                        "attention bytes by n_heads/kv_heads")
     p.add_argument("--batch", type=int, default=1,
                    help="decode batch size B: weights dominate the step, "
                         "so B<=32 rides the same padded MXU tile and "
@@ -148,7 +153,7 @@ def main(argv=None) -> int:
     cfg = BitTransformerConfig(
         vocab=shape["vocab"], d_model=shape["d_model"],
         n_heads=shape["n_heads"], d_ff=shape["d_ff"],
-        n_layers=shape["n_layers"])
+        n_layers=shape["n_layers"], n_kv_heads=args.kv_heads)
     T0, n_new = shape["T0"], shape["n_new"]
     B, max_t = args.batch, T0 + n_new
     cache_dtype = jnp.int8 if args.cache_dtype == "int8" else jnp.float32
@@ -235,7 +240,7 @@ def main(argv=None) -> int:
         with stack_mode():
             lin = lambda n, z: bk.linears[n](z.reshape(B, -1))[:, None, :]
             ffn, qkv = _fused_hooks(bk, B, lambda z: (B, 1))
-            y, c2 = _block_decode(cfg.n_heads, lin, bk.norm_attn,
+            y, c2 = _block_decode(cfg.head_tuple, lin, bk.norm_attn,
                                   bk.norm_ffn, xx, cc, jnp.int32(T0),
                                   ffn=ffn, qkv=qkv)
         return y
@@ -257,6 +262,7 @@ def main(argv=None) -> int:
     glue_us = step_us - layers_us - head_us
     out = {
         "preset": args.preset, "config": shape, "s": args.s,
+        "kv_heads": cfg.kv_heads,
         "cache_dtype": args.cache_dtype, "head_dtype": args.head_dtype,
         "build_seconds": round(build_s, 1),
         "fast_paths": {"fused_ffn": args.fast_paths in ("both", "ffn"),
@@ -303,6 +309,8 @@ def main(argv=None) -> int:
     tag = "" if args.head_dtype == "f32" else f"_head{args.head_dtype}"
     if args.batch > 1:
         tag += f"_b{args.batch}"
+    if args.kv_heads:
+        tag += f"_gqa{args.kv_heads}"
     path = args.output or os.path.join(
         os.path.dirname(__file__), "..", "bench_artifacts",
         f"serving_tokens_{args.preset}{tag}.json")
