@@ -509,10 +509,36 @@ def autotune_serving_flags(cfg: BitTransformerConfig, block_params: dict,
     return _decode(best_name)
 
 
+def _make_sampler(temperature: float, top_k: int, top_p: float):
+    """``(key, logits (B, V)) -> tokens (B,)`` — greedy when temperature
+    is 0, else temperature softmax with optional top-k and/or nucleus
+    (top-p) truncation. Pure/jittable; all branches are trace-time."""
+    def sample(key, logits):
+        if temperature <= 0.0:
+            return jnp.argmax(logits, axis=-1)
+        logits = logits / temperature
+        if top_k:
+            kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        if top_p and top_p < 1.0:
+            # nucleus: keep the smallest prefix of descending-prob tokens
+            # whose cumulative mass reaches top_p (the first is always kept)
+            sorted_l = jnp.sort(logits, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_l, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = cum - probs < top_p            # mass BEFORE this token
+            cutoff = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1,
+                             keepdims=True)
+            logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+        return jax.random.categorical(key, logits, axis=-1)
+    return sample
+
+
 def generate(lm, prompt, n_new: int, *, params=None,
              max_t: Optional[int] = None, prefill: bool = True,
-             cache_dtype=jnp.float32):
-    """Greedy decode ``n_new`` tokens after ``prompt (B, T0) int32``.
+             cache_dtype=jnp.float32, temperature: float = 0.0,
+             top_k: int = 0, top_p: float = 1.0, key=None):
+    """Decode ``n_new`` tokens after ``prompt (B, T0) int32``.
 
     ``lm`` is a :class:`BitTransformerLM` (pass its ``params``) or an
     :class:`ExportedTransformerLM`. With ``prefill=True`` (default) the
@@ -521,7 +547,19 @@ def generate(lm, prompt, n_new: int, *, params=None,
     workload), then the new tokens decode under ``lax.scan`` (one compile,
     static cache shapes). ``prefill=False`` keeps the pure step-by-step
     path. Returns ``(B, T0 + n_new)`` tokens.
+
+    Sampling: ``temperature=0`` (default) is greedy; ``temperature>0``
+    samples the softmax at that temperature, optionally truncated to the
+    ``top_k`` highest logits and/or the ``top_p`` nucleus. Pass ``key``
+    (a ``jax.random`` key) for reproducible sampling; sampling runs
+    INSIDE the compiled scan (a per-step ``fold_in``), costing nothing
+    extra at the serving scale.
     """
+    sampler = _make_sampler(temperature, top_k, top_p)
+    if temperature > 0.0 and key is None:
+        key = jax.random.key(0)
+    if key is None:
+        key = jax.random.key(0)   # unused by greedy; keeps one trace shape
     # The model/params pytree flows through jit as an ARGUMENT (``tree``
     # below), never a closure capture: a captured ExportedTransformerLM's
     # containers inline as HLO literal constants in the scan body — 2.2 GB
@@ -543,33 +581,35 @@ def generate(lm, prompt, n_new: int, *, params=None,
 
     if prefill:
         @jax.jit
-        def _run(tr, prompt, caches):
+        def _run(tr, prompt, caches, key):
             logits_all, caches = make_fill(tr)(prompt, caches)
-            first = jnp.argmax(logits_all[:, T0 - 1],
-                               axis=-1).astype(prompt.dtype)
+            first = sampler(jax.random.fold_in(key, T0 - 1),
+                            logits_all[:, T0 - 1]).astype(prompt.dtype)
 
             def scan_fn(carry, t):
                 caches, cur = carry
                 logits, caches = make_step(tr)(cur, caches, t)
-                nxt = jnp.argmax(logits, axis=-1).astype(prompt.dtype)
+                nxt = sampler(jax.random.fold_in(key, t),
+                              logits).astype(prompt.dtype)
                 return (caches, nxt), cur
 
             _, gen = jax.lax.scan(scan_fn, (caches, first),
                                   jnp.arange(T0, T0 + n_new))
             return gen
 
-        gen = _run(tree, prompt, caches)
+        gen = _run(tree, prompt, caches, key)
         return jnp.concatenate([prompt, gen.T.astype(prompt.dtype)], axis=1)
 
     @jax.jit
-    def _run_nofill(tr, prompt, caches):
+    def _run_nofill(tr, prompt, caches, key):
         def scan_fn(carry, t):
             caches, cur = carry
             # feed the prompt token at position t while t < T0, else the
-            # previously generated token; emit greedy argmax for position t+1
+            # previously generated token; emit the sample for position t+1
             tok = jnp.where(t < T0, prompt[:, jnp.minimum(t, T0 - 1)], cur)
             logits, caches = make_step(tr)(tok, caches, t)
-            nxt = jnp.argmax(logits, axis=-1).astype(prompt.dtype)
+            nxt = sampler(jax.random.fold_in(key, t),
+                          logits).astype(prompt.dtype)
             return (caches, nxt), nxt
 
         cur0 = jnp.zeros((B,), prompt.dtype)
@@ -577,6 +617,6 @@ def generate(lm, prompt, n_new: int, *, params=None,
                               jnp.arange(T0 + n_new - 1))
         return gen
 
-    gen = _run_nofill(tree, prompt, caches)
+    gen = _run_nofill(tree, prompt, caches, key)
     # gen[t] predicts position t+1; positions T0..T0+n_new-1 are gen[T0-1:]
     return jnp.concatenate([prompt, gen[T0 - 1:].T.astype(prompt.dtype)], axis=1)

@@ -51,3 +51,49 @@ def test_generate_x_integer_valued():
     assert X.dtype == np.float32
     assert (X == np.round(X)).all()
     assert X.max() <= 512 and X.min() >= -512
+
+
+def test_sampling_options():
+    """generate() sampling: temperature=0 stays greedy (unchanged
+    defaults); temperature>0 with key is reproducible; top_k=1 == greedy;
+    top_p truncation produces valid tokens; prefill and no-prefill agree
+    given the same key when sampling deterministically (top_k=1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ternary_spgemm_tpu.models import BitTransformerConfig, BitTransformerLM
+    from ternary_spgemm_tpu.models.generate import _make_sampler, generate
+
+    cfg = BitTransformerConfig(vocab=32, d_model=16, n_heads=2, d_ff=32,
+                               n_layers=1)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(0))
+    prompt = jax.random.randint(jax.random.key(1), (2, 4), 0, cfg.vocab)
+
+    greedy = np.asarray(generate(model, prompt, 5, params=params))
+    k1 = np.asarray(generate(model, prompt, 5, params=params,
+                             temperature=0.7, top_k=1,
+                             key=jax.random.key(7)))
+    np.testing.assert_array_equal(k1, greedy)   # top_k=1 == argmax
+
+    s1 = np.asarray(generate(model, prompt, 5, params=params,
+                             temperature=1.0, key=jax.random.key(3)))
+    s2 = np.asarray(generate(model, prompt, 5, params=params,
+                             temperature=1.0, key=jax.random.key(3)))
+    np.testing.assert_array_equal(s1, s2)       # reproducible given key
+    sp = np.asarray(generate(model, prompt, 5, params=params,
+                             temperature=1.0, top_p=0.9,
+                             key=jax.random.key(4)))
+    assert sp.shape == (2, 9) and (0 <= sp).all() and (sp < cfg.vocab).all()
+
+    # the sampler's truncations: top_p keeps at least the argmax
+    sampler = _make_sampler(1.0, 0, 0.5)
+    logits = jnp.log(jnp.asarray([[0.6, 0.3, 0.05, 0.05]]))
+    for i in range(5):
+        t = int(sampler(jax.random.key(i), logits)[0])
+        assert t == 0                            # 0.6 >= 0.5 nucleus alone
+    sampler_k = _make_sampler(1.0, 2, 1.0)
+    for i in range(8):
+        t = int(sampler_k(jax.random.key(i), logits)[0])
+        assert t in (0, 1)

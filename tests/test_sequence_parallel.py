@@ -82,3 +82,28 @@ def test_sp_works_with_moe():
     # and the full train step runs
     p_sh, state, loss = step(p_sh, state, t_sh)
     assert np.isfinite(float(loss))
+
+
+def test_gqa_sharded_lm_train_step():
+    """GQA (n_kv_heads < n_heads) composes with the dp x tp x sp sharded
+    train step: the narrower wk/wv columns shard on the model axis like
+    any column-parallel projection."""
+    import optax
+
+    from ternary_spgemm_tpu.models import (
+        BitTransformerConfig, BitTransformerLM, make_sharded_lm_train_step)
+    from ternary_spgemm_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    cfg = BitTransformerConfig(vocab=32, d_model=32, n_heads=4,
+                               n_kv_heads=2, d_ff=64, n_layers=2)
+    assert cfg.kv_width == 16          # divisible by tp=4
+    model = BitTransformerLM(cfg)
+    opt = optax.sgd(1e-2)
+    step, place = make_sharded_lm_train_step(model, opt, mesh,
+                                             sequence_parallel=True)
+    params = model.init(jax.random.key(0))
+    toks = np.zeros((4, 8), np.int32)
+    params, state, toks = place(params, opt.init(params), toks)
+    params, state, loss = step(params, state, toks)
+    assert np.isfinite(float(jax.device_get(loss)))
