@@ -286,3 +286,50 @@ def test_export_model_cli_roundtrip(tmp_path):
     want = np.asarray(generate(
         lm, jnp.asarray([[1, 2, 3]], jnp.int32), 4))[0, 3:].tolist()
     assert got == want
+
+
+def test_export_model_cli_serving_flags(tmp_path):
+    """export_model.py serving flags: --a8 --serving-only --fused-qkv
+    --head-dtype bf16 survive the bundle, and generate accepts sampling."""
+    import contextlib
+    import io
+    import json
+
+    import optax
+
+    from tools import export_model
+    from ternary_spgemm_tpu.models import (
+        BitTransformerConfig, BitTransformerLM)
+
+    cfg_kw = dict(vocab=32, d_model=64, n_heads=2, d_ff=128, n_layers=1)
+    cfg = BitTransformerConfig(**cfg_kw)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(6))
+    ckpt = str(tmp_path / "state")
+    checkpoint.save_pytree(
+        ckpt, {"params": params, "opt": optax.adam(1e-3).init(params),
+               "step": 0})
+    cfg_json = tmp_path / "cfg.json"
+    cfg_json.write_text(json.dumps(cfg_kw))
+    bundle = str(tmp_path / "bundle_srv.npz")
+    rc = export_model.main([
+        "export", "--checkpoint", ckpt, "--cfg", str(cfg_json),
+        "--format", "TiledBitplane", "--kernel", "PallasTiledBitplane_i8",
+        "--a8", "--serving-only", "--fused-qkv", "--head-dtype", "bf16",
+        "--out", bundle])
+    assert rc == 0
+    lm2 = checkpoint.load_lm_bundle(bundle)
+    assert lm2.blocks[0].linears["wq"].a8
+    assert lm2.blocks[0].linears["wq"].fmt_t is None
+    assert lm2.blocks[0].qkv is not None
+    assert lm2.embed.dtype == jnp.bfloat16
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = export_model.main(["generate", "--bundle", bundle,
+                                "--prompt", "1 2 3", "--new-tokens", "4",
+                                "--int8-kv", "--temperature", "0.8",
+                                "--top-k", "5", "--seed", "3"])
+    assert rc == 0
+    got = [int(t) for t in buf.getvalue().strip().split()]
+    assert len(got) == 4 and all(0 <= t < cfg.vocab for t in got)

@@ -58,8 +58,12 @@ def cmd_export(args) -> int:
     else:
         params = checkpoint.restore_pytree(args.checkpoint, like)
     fmt_cls = all_formats()[args.format]
-    lm = ExportedTransformerLM.from_params(model, params, fmt_cls,
-                                           kernel=args.kernel)
+    import jax.numpy as jnp
+    lm = ExportedTransformerLM.from_params(
+        model, params, fmt_cls, kernel=args.kernel, a8=args.a8,
+        with_transpose=not args.serving_only,
+        fused_ffn=args.fused_ffn, fused_qkv=args.fused_qkv, auto=args.auto,
+        head_dtype=jnp.bfloat16 if args.head_dtype == "bf16" else None)
     checkpoint.save_lm_bundle(args.out, lm)
     size = os.path.getsize(args.out if args.out.endswith(".npz")
                            else args.out + ".npz")
@@ -85,7 +89,9 @@ def cmd_generate(args) -> int:
     if prompt.max() >= lm.cfg.vocab:
         raise SystemExit(f"prompt token {prompt.max()} >= vocab {lm.cfg.vocab}")
     out = generate(lm, jnp.asarray(prompt), args.new_tokens,
-                   cache_dtype=jnp.int8 if args.int8_kv else jnp.float32)
+                   cache_dtype=jnp.int8 if args.int8_kv else jnp.float32,
+                   temperature=args.temperature, top_k=args.top_k,
+                   top_p=args.top_p, key=jax.random.key(args.seed))
     toks = np.asarray(out)[0, prompt.shape[1]:].tolist()
     print(" ".join(map(str, toks)))
     return 0
@@ -105,6 +111,20 @@ def main(argv=None) -> int:
     pe.add_argument("--state-key", default="params",
                     help="key of the params tree inside a saved training "
                          "state ('' if the checkpoint IS the params tree)")
+    pe.add_argument("--a8", action="store_true",
+                    help="W1.58-A8 serving mode: per-row int8 activation "
+                         "requantize on every projection")
+    pe.add_argument("--serving-only", action="store_true",
+                    help="skip the transposed containers (forward-only "
+                         "export; halves bundle size + export time)")
+    pe.add_argument("--fused-ffn", action="store_true")
+    pe.add_argument("--fused-qkv", action="store_true")
+    pe.add_argument("--auto", action="store_true",
+                    help="pick fused_ffn/fused_qkv by MEASUREMENT at the "
+                         "decode shape (autotune_serving_flags)")
+    pe.add_argument("--head-dtype", default="f32", choices=["f32", "bf16"],
+                    help="logits-head embedding storage (bf16 halves the "
+                         "per-step head bytes)")
     pe.add_argument("--out", required=True)
     pe.add_argument("--platform", default=None)
     pe.set_defaults(fn=cmd_export)
@@ -114,6 +134,11 @@ def main(argv=None) -> int:
     pg.add_argument("--prompt", required=True,
                     help="space-separated token ids")
     pg.add_argument("--new-tokens", type=int, default=16)
+    pg.add_argument("--temperature", type=float, default=0.0,
+                    help="0 = greedy (default); >0 samples the softmax")
+    pg.add_argument("--top-k", type=int, default=0)
+    pg.add_argument("--top-p", type=float, default=1.0)
+    pg.add_argument("--seed", type=int, default=0)
     pg.add_argument("--int8-kv", action="store_true",
                     help="serve with the int8 KV cache (4x smaller)")
     pg.add_argument("--platform", default=None)
