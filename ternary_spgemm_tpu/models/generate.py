@@ -177,13 +177,21 @@ def _block_decode(n_heads: int, lin, norm_attn, norm_ffn, x, cache, pos,
     return x, cache
 
 
-def _prefill_attend(n_heads, q, k, v, cache):
+def _prefill_attend(n_heads, q, k, v, cache, start=None):
     """Full-prompt causal attention that also fills the cache: the MXU-
     efficient prefill (one (B,T0,d) forward) instead of T0 sequential M=1
     decode steps. Math identical to ``transformer.causal_attend``; the
     cache stores ROTATED keys (same convention as :func:`_cached_attend`).
     GQA folds each KV head's G query heads into the query axis (G·T rows
-    per kv head); the causal mask broadcasts per group."""
+    per kv head); the causal mask broadcasts per group.
+
+    ``start=None``: the whole prompt from position 0 (static masks, cache
+    read sliced to T). ``start`` a traced scalar: CHUNKED prefill — this
+    call covers positions ``start..start+T-1``; attention reads the FULL
+    cache with the dynamic mask ``k_idx <= start + q_local`` (earlier
+    chunks' keys visible, later slots masked), so one compiled program
+    serves every equal-size chunk. Chunk results are bitwise-independent
+    of the chunking (per-row softmax; tested)."""
     from ternary_spgemm_tpu.models.transformer import _norm_heads
     nq, nkv = _norm_heads(n_heads)
     B, T, d = q.shape
@@ -193,27 +201,38 @@ def _prefill_attend(n_heads, q, k, v, cache):
     kv = lambda z: z.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
     k, v = kv(k), kv(v)
     from ternary_spgemm_tpu.models.transformer import rotary_embed
-    q, k = rotary_embed(q), rotary_embed(k)
+    chunked = start is not None
+    off = start if chunked else 0
+    q, k = rotary_embed(q, offset=off), rotary_embed(k, offset=off)
     # attention reads through the cache (int8 caches: scale-outside-dot,
     # same formulation as decode) so prefill ≡ stepwise decode exactly
-    cache = _cache_put(cache, k, v, 0)
+    cache = _cache_put(cache, k, v, off if chunked else 0)
     qg = q.reshape(B, nkv, G * T, hd)
-    logits, combine = _cache_attn(qg, cache, T=T, hd_scale=hd ** -0.5)
-    mask = jnp.tril(jnp.ones((T, T), bool))          # (q_pos, k_pos)
-    logits = logits.reshape(B, nkv, G, T, T)
+    logits, combine = _cache_attn(qg, cache,
+                                  T=None if chunked else T,
+                                  hd_scale=hd ** -0.5)
+    K = logits.shape[-1]
+    logits = logits.reshape(B, nkv, G, T, K)
+    if chunked:
+        # (q_local, k_idx): keys up to the query's absolute position
+        mask = (jnp.arange(K)[None, :]
+                <= start + jnp.arange(T)[:, None])
+    else:
+        mask = jnp.tril(jnp.ones((T, T), bool))      # (q_pos, k_pos)
     logits = jnp.where(mask[None, None, None], logits, -jnp.inf)
-    probs = jax.nn.softmax(logits, axis=-1).reshape(B, nkv, G * T, T)
+    probs = jax.nn.softmax(logits, axis=-1).reshape(B, nkv, G * T, K)
     out = combine(probs).reshape(B, nq, T, hd)
     return out.transpose(0, 2, 1, 3).reshape(B, T, d), cache
 
 
-def _block_prefill(n_heads: int, lin, norm_attn, norm_ffn, x, cache,
-                   ffn=None, qkv=None):
-    """One block over the whole prompt, filling its cache."""
+def _block_prefill(n_heads, lin, norm_attn, norm_ffn, x, cache,
+                   ffn=None, qkv=None, start=None):
+    """One block over the whole prompt (or one chunk of it), filling its
+    cache."""
     h = rms_norm(x, norm_attn)
     q, k, v = (qkv(h) if qkv is not None
                else (lin("wq", h), lin("wk", h), lin("wv", h)))
-    attn, cache = _prefill_attend(n_heads, q, k, v, cache)
+    attn, cache = _prefill_attend(n_heads, q, k, v, cache, start=start)
     x = x + lin("wo", attn)
     h = rms_norm(x, norm_ffn)
     if ffn is not None:
@@ -223,9 +242,10 @@ def _block_prefill(n_heads: int, lin, norm_attn, norm_ffn, x, cache,
     return x, cache
 
 
-def lm_prefill(model: BitTransformerLM, params, tokens, caches):
+def lm_prefill(model: BitTransformerLM, params, tokens, caches, start=None):
     """QAT backend prompt prefill: ``tokens (B, T0) -> (logits (B, T0,
     vocab), caches')`` — equivalent to T0 decode steps, one forward.
+    ``start``: chunked-prefill absolute offset (:func:`chunked_prefill`).
 
     MoE caveat: expert capacity is computed from the per-call token count
     (S=B·T0 here vs S=B per decode step), so the equivalence requires a
@@ -241,7 +261,8 @@ def lm_prefill(model: BitTransformerLM, params, tokens, caches):
             ffn = (lambda b_, p_: lambda h: b_.moe.apply(p_["moe"], h)[0])(
                 block, p)
         x, cache = _block_prefill(model.cfg.head_tuple, lin, p["norm_attn"],
-                                  p["norm_ffn"], x, cache, ffn=ffn)
+                                  p["norm_ffn"], x, cache, ffn=ffn,
+                                  start=start)
         new_caches.append(cache)
     x = rms_norm(x, params["norm_out"])
     return jnp.einsum("btd,vd->btv", x, params["embed"]), new_caches
@@ -354,8 +375,12 @@ class ExportedTransformerLM:
         x = rms_norm(x, self.norm_out)
         return self._head(x)
 
-    def prefill(self, tokens, caches):
-        """Prompt prefill: ``tokens (B, T0) -> (logits, caches')``."""
+    def prefill(self, tokens, caches, start=None):
+        """Prompt prefill: ``tokens (B, T0) -> (logits, caches')``.
+
+        ``start`` (traced scalar) runs this call as ONE CHUNK of a longer
+        prompt at absolute positions ``start..start+T0-1`` (see
+        :func:`chunked_prefill` for the loop)."""
         from ternary_spgemm_tpu.ops import stack_mode
 
         B, T = tokens.shape
@@ -370,7 +395,8 @@ class ExportedTransformerLM:
                     ffn = (lambda b_: lambda h: b_.moe(h))(block)
                 x, cache = _block_prefill(self.cfg.head_tuple, lin,
                                           block.norm_attn, block.norm_ffn,
-                                          x, cache, ffn=ffn, qkv=qkv)
+                                          x, cache, ffn=ffn, qkv=qkv,
+                                          start=start)
                 new_caches.append(cache)
         x = rms_norm(x, self.norm_out)
         return self._head(x), new_caches
@@ -507,6 +533,36 @@ def autotune_serving_flags(cfg: BitTransformerConfig, block_params: dict,
         if cache_path:
             _write_disk(cache_path, skey, best_name)
     return _decode(best_name)
+
+
+def chunked_prefill(lm, tokens, caches, chunk: int, *, params=None):
+    """Long-prompt prefill in fixed-size chunks at bounded memory.
+
+    Full prefill materializes O(T²) attention logits per block — at
+    T=8k+ that dominates HBM. This runs the prompt through
+    ``prefill(..., start=chunk_start)`` one chunk at a time: each chunk
+    attends causally to everything already cached, so the result is
+    EXACTLY the unchunked prefill (per-row softmax; tested), memory is
+    O(T·chunk), and one compiled program serves all full chunks (the
+    chunk start is a traced scalar). A trailing remainder chunk traces
+    once more. Returns ``(last_chunk_logits (B, Tc, vocab), caches)``.
+
+    Works for both backends. Reference counterpart: none (net-new
+    long-context serving capability).
+    """
+    if isinstance(lm, BitTransformerLM):
+        fill = lambda tr, tok, c, s: lm_prefill(lm, tr, tok, c, start=s)
+        tree = params
+    else:
+        fill = lambda tr, tok, c, s: tr.prefill(tok, c, start=s)
+        tree = lm
+    B, T0 = tokens.shape
+    step = jax.jit(fill)
+    logits = None
+    for s in range(0, T0, chunk):
+        tok = tokens[:, s:s + chunk]
+        logits, caches = step(tree, tok, caches, jnp.int32(s))
+    return logits, caches
 
 
 def _make_sampler(temperature: float, top_k: int, top_p: float):

@@ -51,17 +51,21 @@ def rms_norm(x, scale, eps: float = 1e-6):
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale.astype(x.dtype)
 
 
-def rotary_embed(x, *, base: float = 10000.0):
+def rotary_embed(x, *, base: float = 10000.0, offset=0):
     """Apply rotary position embeddings over the last axis of ``(..., T, D)``.
 
-    Standard RoPE with the half-split pairing; positions are implicit
-    ``0..T-1`` (static seq len — the table is a compile-time constant under
-    jit, which is exactly what the TPU wants: no dynamic gathers).
-    """
+    Standard RoPE with the half-split pairing; positions are
+    ``offset..offset+T-1``. With the default static offset 0 the table is a
+    compile-time constant under jit (no dynamic gathers — what the TPU
+    wants); a TRACED scalar offset keeps one compiled program reusable
+    across chunk starts (chunked prefill)."""
     T, D = x.shape[-2], x.shape[-1]
     half = D // 2
     freqs = base ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
-    ang = jnp.arange(T, dtype=jnp.float32)[:, None] * freqs[None, :]
+    pos = jnp.arange(T, dtype=jnp.float32)
+    if not (isinstance(offset, int) and offset == 0):
+        pos = pos + jnp.asarray(offset, jnp.float32)
+    ang = pos[:, None] * freqs[None, :]
     cos, sin = jnp.cos(ang).astype(x.dtype), jnp.sin(ang).astype(x.dtype)
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)

@@ -332,3 +332,50 @@ def test_gqa_grouped_equals_repeated_kv():
     want = causal_attend(nq, q, rep(k), rep(v))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_prefill_matches_full():
+    """chunked_prefill == unchunked prefill exactly (same caches, same
+    last-chunk logits), on both backends, with GQA + int8 cache, and with
+    a remainder chunk. One compiled program serves all full chunks (the
+    start is traced)."""
+    from ternary_spgemm_tpu.models.generate import (
+        chunked_prefill, lm_prefill)
+
+    cfg = BitTransformerConfig(vocab=48, d_model=64, n_heads=4,
+                               n_kv_heads=2, d_ff=64, n_layers=2)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(4))
+    toks = jax.random.randint(jax.random.key(5), (2, 10), 0, cfg.vocab)
+
+    # QAT backend
+    full_logits, full_caches = lm_prefill(model, params, toks,
+                                          init_cache(cfg, 2, 12))
+    ch_logits, ch_caches = chunked_prefill(model, toks,
+                                           init_cache(cfg, 2, 12), 4,
+                                           params=params)
+    # last (remainder) chunk covers positions 8..9
+    np.testing.assert_allclose(np.asarray(ch_logits),
+                               np.asarray(full_logits[:, 8:]),
+                               rtol=2e-4, atol=2e-4)
+    for fc, cc in zip(full_caches, ch_caches):
+        for k in fc:
+            np.testing.assert_allclose(np.asarray(fc[k])[:, :, :10],
+                                       np.asarray(cc[k])[:, :, :10],
+                                       rtol=2e-4, atol=2e-4)
+
+    # exported backend + int8 cache: chunked caches must let decode
+    # continue identically to full-prefill caches
+    from ternary_spgemm_tpu.formats import DenseTernary
+    lm = ExportedTransformerLM.from_params(model, params, DenseTernary)
+    fl, fcs = jax.jit(lambda m, t, c: m.prefill(t, c))(
+        lm, toks, init_cache(cfg, 2, 12, dtype=jnp.int8))
+    cl, ccs = chunked_prefill(lm, toks,
+                              init_cache(cfg, 2, 12, dtype=jnp.int8), 5)
+    np.testing.assert_allclose(np.asarray(cl), np.asarray(fl[:, 5:]),
+                               rtol=2e-4, atol=2e-4)
+    nxt = jnp.zeros((2,), toks.dtype)
+    lf, _ = lm.decode_step(nxt, fcs, jnp.int32(10))
+    lc, _ = lm.decode_step(nxt, ccs, jnp.int32(10))
+    np.testing.assert_allclose(np.asarray(lc), np.asarray(lf),
+                               rtol=2e-4, atol=2e-4)
