@@ -131,13 +131,14 @@ def _cache_attn(q, cache, T=None, hd_scale=1.0):
     return logits, combine
 
 
-def _cached_attend(n_heads, q, k_new, v_new, cache, pos):
+def _cached_attend(n_heads, q, k_new, v_new, cache, pos, window: int = 0):
     """One-token attention against the cache; returns (out (B,1,d), cache').
 
     ``n_heads`` int or ``(n_q, n_kv)`` (GQA). The grouped form folds the
     G = n_q/n_kv query heads of each KV head into ``_cache_attn``'s query
     axis — the cache is read ONCE per kv head for all its queries (and the
-    batched dot gets G rows of MXU work instead of one)."""
+    batched dot gets G rows of MXU work instead of one). ``window``: the
+    sliding-window span (0 = full causal)."""
     from ternary_spgemm_tpu.models.transformer import _norm_heads
     nq, nkv = _norm_heads(n_heads)
     B, _, d = q.shape
@@ -150,15 +151,18 @@ def _cached_attend(n_heads, q, k_new, v_new, cache, pos):
     cache = _cache_put(cache, k_new, v_new, pos)
     qg = q.reshape(B, nkv, G, hd)            # query axis = the group
     logits, combine = _cache_attn(qg, cache, hd_scale=hd ** -0.5)
-    mask = jnp.arange(cache["k"].shape[2]) <= pos
+    kidx = jnp.arange(cache["k"].shape[2])
+    mask = kidx <= pos
+    if window:
+        mask = mask & (pos - kidx < window)
     logits = jnp.where(mask[None, None, None, :], logits, -jnp.inf)
     out = combine(jax.nn.softmax(logits, axis=-1))   # (B, nkv, G, hd)
     return out.reshape(B, nq, 1, hd).transpose(0, 2, 1, 3).reshape(B, 1, d), \
         cache
 
 
-def _block_decode(n_heads: int, lin, norm_attn, norm_ffn, x, cache, pos,
-                  ffn=None, qkv=None):
+def _block_decode(n_heads, lin, norm_attn, norm_ffn, x, cache, pos,
+                  ffn=None, qkv=None, window: int = 0):
     """One block, one token. ``lin(name, z)`` is the backend's projection;
     ``ffn(h) -> h`` overrides the dense SwiGLU (MoE-FFN blocks route the
     single-token batch through their experts; exported blocks route through
@@ -167,7 +171,8 @@ def _block_decode(n_heads: int, lin, norm_attn, norm_ffn, x, cache, pos,
     h = rms_norm(x, norm_attn)
     q, k, v = (qkv(h) if qkv is not None
                else (lin("wq", h), lin("wk", h), lin("wv", h)))
-    attn, cache = _cached_attend(n_heads, q, k, v, cache, pos)
+    attn, cache = _cached_attend(n_heads, q, k, v, cache, pos,
+                                 window=window)
     x = x + lin("wo", attn)
     h = rms_norm(x, norm_ffn)
     if ffn is not None:
@@ -177,7 +182,7 @@ def _block_decode(n_heads: int, lin, norm_attn, norm_ffn, x, cache, pos,
     return x, cache
 
 
-def _prefill_attend(n_heads, q, k, v, cache, start=None):
+def _prefill_attend(n_heads, q, k, v, cache, start=None, window: int = 0):
     """Full-prompt causal attention that also fills the cache: the MXU-
     efficient prefill (one (B,T0,d) forward) instead of T0 sequential M=1
     decode steps. Math identical to ``transformer.causal_attend``; the
@@ -215,10 +220,16 @@ def _prefill_attend(n_heads, q, k, v, cache, start=None):
     logits = logits.reshape(B, nkv, G, T, K)
     if chunked:
         # (q_local, k_idx): keys up to the query's absolute position
-        mask = (jnp.arange(K)[None, :]
-                <= start + jnp.arange(T)[:, None])
+        qabs = start + jnp.arange(T)[:, None]
+        kidx = jnp.arange(K)[None, :]
+        mask = kidx <= qabs
+        if window:
+            mask = mask & (qabs - kidx < window)
     else:
         mask = jnp.tril(jnp.ones((T, T), bool))      # (q_pos, k_pos)
+        if window:
+            qi = jnp.arange(T)[:, None]
+            mask = mask & (qi - jnp.arange(T)[None, :] < window)
     logits = jnp.where(mask[None, None, None], logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1).reshape(B, nkv, G * T, K)
     out = combine(probs).reshape(B, nq, T, hd)
@@ -226,13 +237,14 @@ def _prefill_attend(n_heads, q, k, v, cache, start=None):
 
 
 def _block_prefill(n_heads, lin, norm_attn, norm_ffn, x, cache,
-                   ffn=None, qkv=None, start=None):
+                   ffn=None, qkv=None, start=None, window: int = 0):
     """One block over the whole prompt (or one chunk of it), filling its
     cache."""
     h = rms_norm(x, norm_attn)
     q, k, v = (qkv(h) if qkv is not None
                else (lin("wq", h), lin("wk", h), lin("wv", h)))
-    attn, cache = _prefill_attend(n_heads, q, k, v, cache, start=start)
+    attn, cache = _prefill_attend(n_heads, q, k, v, cache, start=start,
+                                  window=window)
     x = x + lin("wo", attn)
     h = rms_norm(x, norm_ffn)
     if ffn is not None:
@@ -262,7 +274,7 @@ def lm_prefill(model: BitTransformerLM, params, tokens, caches, start=None):
                 block, p)
         x, cache = _block_prefill(model.cfg.head_tuple, lin, p["norm_attn"],
                                   p["norm_ffn"], x, cache, ffn=ffn,
-                                  start=start)
+                                  start=start, window=model.cfg.window)
         new_caches.append(cache)
     x = rms_norm(x, params["norm_out"])
     return jnp.einsum("btd,vd->btv", x, params["embed"]), new_caches
@@ -280,7 +292,8 @@ def lm_decode_step(model: BitTransformerLM, params, tokens, caches, pos):
             ffn = (lambda b_, p_: lambda h: b_.moe.apply(p_["moe"], h)[0])(
                 block, p)
         x, cache = _block_decode(model.cfg.head_tuple, lin, p["norm_attn"],
-                                 p["norm_ffn"], x, cache, pos, ffn=ffn)
+                                 p["norm_ffn"], x, cache, pos, ffn=ffn,
+                                 window=model.cfg.window)
         new_caches.append(cache)
     x = rms_norm(x, params["norm_out"])
     return jnp.einsum("btd,vd->btv", x, params["embed"])[:, 0], new_caches
@@ -396,7 +409,8 @@ class ExportedTransformerLM:
                 x, cache = _block_prefill(self.cfg.head_tuple, lin,
                                           block.norm_attn, block.norm_ffn,
                                           x, cache, ffn=ffn, qkv=qkv,
-                                          start=start)
+                                          start=start,
+                                          window=self.cfg.window)
                 new_caches.append(cache)
         x = rms_norm(x, self.norm_out)
         return self._head(x), new_caches
@@ -417,7 +431,8 @@ class ExportedTransformerLM:
                     ffn = (lambda b_: lambda h: b_.moe(h))(block)
                 x, cache = _block_decode(self.cfg.head_tuple, lin,
                                          block.norm_attn, block.norm_ffn,
-                                         x, cache, pos, ffn=ffn, qkv=qkv)
+                                         x, cache, pos, ffn=ffn, qkv=qkv,
+                                         window=self.cfg.window)
                 new_caches.append(cache)
         x = rms_norm(x, self.norm_out)
         return self._head(x)[:, 0], new_caches

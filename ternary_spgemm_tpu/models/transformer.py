@@ -80,13 +80,16 @@ def _norm_heads(n_heads):
     return int(nq), int(nkv)
 
 
-def causal_attend(n_heads, q, k, v):
+def causal_attend(n_heads, q, k, v, window: int = 0):
     """(B, T, d) multi-head causal attention with rotary q/k; the mask is a
-    compile-time tril constant (static T — no dynamic control flow under
+    compile-time constant (static T — no dynamic control flow under
     jit). ``n_heads`` may be ``(n_q, n_kv)`` for grouped-query attention
     (k/v arrive at width ``n_kv * head_dim``); the grouped einsum keeps the
     kv tensors un-repeated — each kv head serves its G query heads in one
-    batched dot (the layout that also makes the dot MXU-efficient)."""
+    batched dot (the layout that also makes the dot MXU-efficient).
+    ``window > 0``: sliding-window attention (each query sees the last
+    ``window`` positions incl. itself — the Mistral local-attention
+    pattern)."""
     B, T, d = q.shape
     nq, nkv = _norm_heads(n_heads)
     hd = d // nq
@@ -99,6 +102,9 @@ def causal_attend(n_heads, q, k, v):
     logits = jnp.einsum("bngqd,bnkd->bngqk", q5, k,
                         preferred_element_type=jnp.float32) / (hd ** 0.5)
     mask = jnp.tril(jnp.ones((T, T), bool))
+    if window:
+        qi = jnp.arange(T)[:, None]
+        mask = mask & (qi - jnp.arange(T)[None, :] < window)
     logits = jnp.where(mask, logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)  # softmax in f32
     out = jnp.einsum("bngqk,bnkd->bngqd", probs, v).reshape(B, nq, T, hd)
@@ -115,6 +121,11 @@ class BitTransformerConfig:
     #: n_heads/n_kv_heads — the dominant serving memory lever at batch;
     #: wk/wv project to n_kv_heads*head_dim.
     n_kv_heads: int = 0
+    #: sliding-window attention span (0 = full causal): each position sees
+    #: the last ``window`` positions incl. itself (Mistral local pattern).
+    #: Masking-level support — the KV cache keeps max_t slots; bounding the
+    #: cache itself (ring buffer) composes with chunked prefill separately.
+    window: int = 0
     d_ff: int = 384
     n_layers: int = 2
     # MoE FFN (expert parallelism): 0 = dense SwiGLU FFN, >0 = that many
@@ -220,7 +231,8 @@ class BitTransformerBlock:
         if x.dtype != cdtype:
             x = x.astype(cdtype)
         lin = lambda n, z: self._layers[n].apply(params[n], z)
-        attend = lambda q, k, v: causal_attend(self.cfg.head_tuple, q, k, v)
+        attend = lambda q, k, v: causal_attend(self.cfg.head_tuple, q, k, v,
+                                               window=self.cfg.window)
         h = rms_norm(x, params["norm_attn"])
         attn = lin("wo", attend(lin("wq", h), lin("wk", h), lin("wv", h)))
         x = x + attn
@@ -518,7 +530,8 @@ class ExportedTransformerBlock:
         B, T, d = x.shape
         flat = lambda n, z: self.linears[n](z.reshape(B * T, -1)).reshape(
             B, T, -1)
-        attend = lambda q, k, v: causal_attend(self.cfg.head_tuple, q, k, v)
+        attend = lambda q, k, v: causal_attend(self.cfg.head_tuple, q, k, v,
+                                               window=self.cfg.window)
         # a block is a multi-kernel program: trace with the measured
         # in-stack tile rule (docs/perf.md §16)
         with stack_mode():

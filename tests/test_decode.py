@@ -379,3 +379,54 @@ def test_chunked_prefill_matches_full():
     lc, _ = lm.decode_step(nxt, ccs, jnp.int32(10))
     np.testing.assert_allclose(np.asarray(lc), np.asarray(lf),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sliding_window_attention():
+    """window>0 (Mistral local attention): full forward == prefill ==
+    chunked prefill == stepwise decode; window >= T equals full causal;
+    changing a token OUTSIDE the window does not change the logits at a
+    position, while full attention does notice it."""
+    from ternary_spgemm_tpu.models.generate import (
+        chunked_prefill, lm_prefill)
+
+    cfg = BitTransformerConfig(vocab=48, d_model=32, n_heads=2,
+                               d_ff=64, n_layers=2, window=3)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(11))
+    toks = jax.random.randint(jax.random.key(12), (2, 9), 0, cfg.vocab)
+
+    want = model.apply(params, toks)
+    caches = init_cache(cfg, 2, 9)
+    for t in range(9):
+        logits, caches = lm_decode_step(model, params, toks[:, t], caches,
+                                        jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(want[:, t]),
+                                   rtol=2e-4, atol=2e-4)
+    pre, _ = lm_prefill(model, params, toks, init_cache(cfg, 2, 9))
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    ch, _ = chunked_prefill(model, toks, init_cache(cfg, 2, 9), 4,
+                            params=params)
+    np.testing.assert_allclose(np.asarray(ch), np.asarray(want[:, 8:]),
+                               rtol=2e-4, atol=2e-4)
+
+    # locality: position 8 sees only positions 6..8 at window=3 — editing
+    # token 2 must not change logits[8]; the full-attention model notices
+    toks2 = toks.at[:, 2].set((toks[:, 2] + 1) % cfg.vocab)
+    want2 = model.apply(params, toks2)
+    np.testing.assert_allclose(np.asarray(want2[:, 8]),
+                               np.asarray(want[:, 8]), rtol=1e-5, atol=1e-5)
+    cfg_full = BitTransformerConfig(vocab=48, d_model=32, n_heads=2,
+                                    d_ff=64, n_layers=2)
+    full = BitTransformerLM(cfg_full)
+    f1 = full.apply(params, toks)
+    f2 = full.apply(params, toks2)
+    assert np.abs(np.asarray(f1[:, 8]) - np.asarray(f2[:, 8])).max() > 1e-6
+
+    # window >= T: identical to full causal attention
+    cfg_big = BitTransformerConfig(vocab=48, d_model=32, n_heads=2,
+                                   d_ff=64, n_layers=2, window=64)
+    big = BitTransformerLM(cfg_big)
+    np.testing.assert_allclose(np.asarray(big.apply(params, toks)),
+                               np.asarray(f1), rtol=1e-5, atol=1e-5)
