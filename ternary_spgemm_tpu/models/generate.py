@@ -52,7 +52,7 @@ def _rotary_at(x, pos, base: float = 10000.0):
 
 
 def init_cache(cfg: BitTransformerConfig, batch: int, max_t: int,
-               dtype=jnp.float32):
+               dtype=jnp.float32, ring: bool = False):
     """Zeroed per-block K/V caches: a list of ``{"k","v"}: (B, H, max_T, hd)``.
 
     ``dtype=jnp.int8`` stores quantized K/V rows plus per-(token, head)
@@ -62,16 +62,33 @@ def init_cache(cfg: BitTransformerConfig, batch: int, max_t: int,
     materialized at f32. The only approximation is the int8 rounding of
     cached rows (the W1.58-A8 regime's activation treatment applied to the
     cache). With GQA (``cfg.n_kv_heads``) H = the KV-head count — the
-    cache shrinks by n_heads/n_kv_heads on top of the int8 4×."""
+    cache shrinks by n_heads/n_kv_heads on top of the int8 4×.
+
+    ``ring=True`` (requires ``cfg.window > 0``): a RING buffer of exactly
+    ``window`` slots — position p lives at slot ``p % window``, each slot
+    carries its absolute position in ``pos_tab (window,)`` (-1 = empty),
+    and decode attention masks by stored position. The cache (and the
+    per-step attention read) becomes O(window) regardless of generation
+    length — the sliding-window memory win. Prompts longer than the
+    window must prefill through a FULL cache first (prefill-then-attend
+    ordering inside one chunk would evict keys its own earlier queries
+    still need); :func:`generate` enforces this with a clear error."""
     hd = cfg.d_model // cfg.n_heads
     H = cfg.kv_heads
+    slots = max_t
+    extra = {}
+    if ring:
+        if not cfg.window:
+            raise ValueError("ring=True requires cfg.window > 0")
+        slots = cfg.window
+        extra = {"pos_tab": jnp.full((slots,), -1, jnp.int32)}
     if jnp.dtype(dtype) == jnp.int8:
-        z = jnp.zeros((batch, H, max_t, hd), jnp.int8)
-        s = jnp.zeros((batch, H, max_t, 1), jnp.float32)
-        return [{"k": z, "v": z, "k_scale": s, "v_scale": s}
+        z = jnp.zeros((batch, H, slots, hd), jnp.int8)
+        s = jnp.zeros((batch, H, slots, 1), jnp.float32)
+        return [{"k": z, "v": z, "k_scale": s, "v_scale": s, **extra}
                 for _ in range(cfg.n_layers)]
-    z = jnp.zeros((batch, H, max_t, hd), jnp.float32)
-    return [{"k": z, "v": z} for _ in range(cfg.n_layers)]
+    z = jnp.zeros((batch, H, slots, hd), jnp.float32)
+    return [{"k": z, "v": z, **extra} for _ in range(cfg.n_layers)]
 
 
 def _quant_rows(x):
@@ -81,21 +98,42 @@ def _quant_rows(x):
 
 
 def _cache_put(cache, k_new, v_new, pos):
-    """Write (possibly quantizing) one-or-more rotated K/V rows at ``pos``."""
+    """Write (possibly quantizing) one-or-more rotated K/V rows at ``pos``.
+
+    Ring caches (``pos_tab`` present) write at slot ``pos % window`` and
+    record the absolute position. A multi-row write (prefill) into a ring
+    must start the buffer (pos=0, T <= window) — no wrap; the generate()
+    entry point enforces the prompt-length precondition."""
+    ring = "pos_tab" in cache
+    T_new = k_new.shape[2]
+    if ring:
+        W = cache["pos_tab"].shape[0]
+        slot = pos % W
+        pos_tab = jax.lax.dynamic_update_slice(
+            cache["pos_tab"],
+            pos + jnp.arange(T_new, dtype=jnp.int32), (slot,))
+    else:
+        slot = pos
+    out = {}
     if "k_scale" in cache:
         kq, ks = _quant_rows(k_new)
         vq, vs = _quant_rows(v_new)
-        return {
-            "k": jax.lax.dynamic_update_slice(cache["k"], kq, (0, 0, pos, 0)),
-            "v": jax.lax.dynamic_update_slice(cache["v"], vq, (0, 0, pos, 0)),
+        out = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], kq, (0, 0, slot, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], vq, (0, 0, slot, 0)),
             "k_scale": jax.lax.dynamic_update_slice(
-                cache["k_scale"], ks, (0, 0, pos, 0)),
+                cache["k_scale"], ks, (0, 0, slot, 0)),
             "v_scale": jax.lax.dynamic_update_slice(
-                cache["v_scale"], vs, (0, 0, pos, 0)),
+                cache["v_scale"], vs, (0, 0, slot, 0)),
         }
-    ck = jax.lax.dynamic_update_slice(cache["k"], k_new, (0, 0, pos, 0))
-    cv = jax.lax.dynamic_update_slice(cache["v"], v_new, (0, 0, pos, 0))
-    return {"k": ck, "v": cv}
+    else:
+        out = {"k": jax.lax.dynamic_update_slice(cache["k"], k_new,
+                                                 (0, 0, slot, 0)),
+               "v": jax.lax.dynamic_update_slice(cache["v"], v_new,
+                                                 (0, 0, slot, 0))}
+    if ring:
+        out["pos_tab"] = pos_tab
+    return out
 
 
 def _cache_attn(q, cache, T=None, hd_scale=1.0):
@@ -151,10 +189,18 @@ def _cached_attend(n_heads, q, k_new, v_new, cache, pos, window: int = 0):
     cache = _cache_put(cache, k_new, v_new, pos)
     qg = q.reshape(B, nkv, G, hd)            # query axis = the group
     logits, combine = _cache_attn(qg, cache, hd_scale=hd ** -0.5)
-    kidx = jnp.arange(cache["k"].shape[2])
-    mask = kidx <= pos
-    if window:
-        mask = mask & (pos - kidx < window)
+    if "pos_tab" in cache:
+        # ring buffer: slots are unordered; mask by each slot's STORED
+        # absolute position (keys carry their rotary, so slot order is
+        # irrelevant to the softmax+combine)
+        pt = cache["pos_tab"]
+        W = pt.shape[0]
+        mask = (pt >= 0) & (pt <= pos) & (pos - pt < W)
+    else:
+        kidx = jnp.arange(cache["k"].shape[2])
+        mask = kidx <= pos
+        if window:
+            mask = mask & (pos - kidx < window)
     logits = jnp.where(mask[None, None, None, :], logits, -jnp.inf)
     out = combine(jax.nn.softmax(logits, axis=-1))   # (B, nkv, G, hd)
     return out.reshape(B, nq, 1, hd).transpose(0, 2, 1, 3).reshape(B, 1, d), \
@@ -207,6 +253,12 @@ def _prefill_attend(n_heads, q, k, v, cache, start=None, window: int = 0):
     k, v = kv(k), kv(v)
     from ternary_spgemm_tpu.models.transformer import rotary_embed
     chunked = start is not None
+    if chunked and "pos_tab" in cache:
+        raise NotImplementedError(
+            "chunked prefill into a ring cache is unsupported (writing a "
+            "chunk before attending would evict keys its own earlier "
+            "queries still need); prefill a full cache, or keep the whole "
+            "prompt within the window")
     off = start if chunked else 0
     q, k = rotary_embed(q, offset=off), rotary_embed(k, offset=off)
     # attention reads through the cache (int8 caches: scale-outside-dot,
@@ -607,7 +659,8 @@ def _make_sampler(temperature: float, top_k: int, top_p: float):
 
 def generate(lm, prompt, n_new: int, *, params=None,
              max_t: Optional[int] = None, prefill: bool = True,
-             cache_dtype=jnp.float32, temperature: float = 0.0,
+             cache_dtype=jnp.float32, ring: bool = False,
+             temperature: float = 0.0,
              top_k: int = 0, top_p: float = 1.0, key=None):
     """Decode ``n_new`` tokens after ``prompt (B, T0) int32``.
 
@@ -625,6 +678,11 @@ def generate(lm, prompt, n_new: int, *, params=None,
     (a ``jax.random`` key) for reproducible sampling; sampling runs
     INSIDE the compiled scan (a per-step ``fold_in``), costing nothing
     extra at the serving scale.
+
+    ``ring=True`` (sliding-window models): an O(window) ring-buffer KV
+    cache — constant memory AND constant per-step attention cost however
+    long the generation runs. Requires ``cfg.window > 0`` and the prompt
+    to fit one window (longer prompts: prefill a full cache instead).
     """
     sampler = _make_sampler(temperature, top_k, top_p)
     if temperature > 0.0 and key is None:
@@ -648,7 +706,16 @@ def generate(lm, prompt, n_new: int, *, params=None,
         tree = lm
     B, T0 = prompt.shape
     max_t = max_t or (T0 + n_new)
-    caches = init_cache(cfg, B, max_t, dtype=cache_dtype)
+    if ring:
+        if not cfg.window:
+            raise ValueError("generate(ring=True) requires cfg.window > 0")
+        if prefill and T0 > cfg.window:
+            raise ValueError(
+                f"generate(ring=True): prompt length {T0} exceeds the "
+                f"window ({cfg.window}); use prefill=False (stepwise "
+                "feeding evicts legitimately) or prefill a full cache "
+                "(ring prefill would evict keys its own queries need)")
+    caches = init_cache(cfg, B, max_t, dtype=cache_dtype, ring=ring)
 
     if prefill:
         @jax.jit

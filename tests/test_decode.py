@@ -430,3 +430,52 @@ def test_sliding_window_attention():
     big = BitTransformerLM(cfg_big)
     np.testing.assert_allclose(np.asarray(big.apply(params, toks)),
                                np.asarray(f1), rtol=1e-5, atol=1e-5)
+
+
+def test_ring_cache_matches_full_cache():
+    """Ring-buffer KV cache (O(window) slots): generation equals the
+    full-cache run token-for-token, far beyond the window; per-step decode
+    logits match exactly once positions wrap; prompt-too-long with
+    prefill raises; prefill=False accepts any prompt length."""
+    import pytest
+
+    from ternary_spgemm_tpu.models.generate import init_cache as ic
+
+    cfg = BitTransformerConfig(vocab=48, d_model=32, n_heads=2,
+                               n_kv_heads=1, d_ff=64, n_layers=2, window=4)
+    model = BitTransformerLM(cfg)
+    params = model.init(jax.random.key(13))
+    prompt = jax.random.randint(jax.random.key(14), (2, 3), 0, cfg.vocab)
+
+    full = generate(model, prompt, 10, params=params)
+    ringo = generate(model, prompt, 10, params=params, ring=True)
+    np.testing.assert_array_equal(np.asarray(ringo), np.asarray(full))
+
+    # the ring really is window-sized
+    rc = ic(cfg, 2, 64, ring=True)
+    assert rc[0]["k"].shape[2] == 4 and rc[0]["pos_tab"].shape == (4,)
+    # stepwise logits: ring == full cache at every position incl. wraps
+    toks = jax.random.randint(jax.random.key(15), (2, 9), 0, cfg.vocab)
+    c_full = ic(cfg, 2, 9)
+    c_ring = ic(cfg, 2, 9, ring=True)
+    for t in range(9):
+        lf, c_full = lm_decode_step(model, params, toks[:, t], c_full,
+                                    jnp.asarray(t))
+        lr, c_ring = lm_decode_step(model, params, toks[:, t], c_ring,
+                                    jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(lr), np.asarray(lf),
+                                   rtol=2e-4, atol=2e-4)
+
+    long_prompt = jax.random.randint(jax.random.key(16), (1, 7), 0,
+                                     cfg.vocab)
+    with pytest.raises(ValueError, match="exceeds the window"):
+        generate(model, long_prompt, 2, params=params, ring=True)
+    out = generate(model, long_prompt, 2, params=params, ring=True,
+                   prefill=False)
+    np.testing.assert_array_equal(
+        np.asarray(out),
+        np.asarray(generate(model, long_prompt, 2, params=params,
+                            prefill=False)))
+    with pytest.raises(ValueError, match="requires cfg.window"):
+        ic(BitTransformerConfig(vocab=8, d_model=16, n_heads=2, d_ff=16),
+           1, 8, ring=True)
